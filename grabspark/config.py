@@ -1,0 +1,36 @@
+"""Engine configuration."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class BloomConfig:
+    enabled: bool = True
+    # total bits across shards; sized for expected keys at ~1% FP:
+    # bits ~= 9.6 * n_keys.  Advisory prefilter only (J2): false positives
+    # fall through to the exact anti-join, false negatives are impossible
+    # for inserted keys.
+    n_bits: int = 1 << 20
+    n_hashes: int = 7
+    n_shards: int = 16  # shard the bit-space; per-shard arrays merge cheaply
+
+
+@dataclass
+class EngineConfig:
+    run_dir: str
+    store_path: str
+    # "unlimited" reproduces the reference's semantics at the ordering
+    # level (whole BFS level per round); "per_host" enforces the
+    # north-rule politeness budget (robots crawl-delay -> fetches/round).
+    budget_mode: str = "unlimited"
+    tick_seconds: float = 1.0  # wall-clock a round represents (politeness)
+    default_crawl_delay: float = 1.0  # reference: 1 req/s (main_functions.go:39)
+    robots_path: str | None = None  # parquet of (host, rule_prefix, allow, crawl_delay)
+    bloom: BloomConfig = field(default_factory=BloomConfig)
+    salt_buckets: int = 8  # host-hash salt fan-out for hot-host windows
+    seq_window_threshold: int = 200_000  # above this, distributed seq assignment
+    seq_partitions: int = 32
+    broadcast_store: bool = False  # hint the store side of the fetch join
+    max_rounds: int | None = None

@@ -1,0 +1,328 @@
+"""C1/C2 — the crawl driver loop: one DataFrame job per BFS round.
+
+The reference crawls sequentially — pop head, sleep 1 s, dedupe, fetch,
+push links (/root/reference/functions/main_functions.go:34-76), looping
+seeds one after another with a fresh visited set each
+(handlers/crawl.go:47-50).  This engine reproduces the *same total fetch
+order and seen set* with a round-based dataflow: each round is one
+declarative DataFrame job over the whole BFS level (all seeds progress
+concurrently — ``seed_idx`` is part of every key, which reifies the
+per-seed seen reset), and the sequential order is carried by ordering
+columns ``(seed_idx, parent_seq, link_idx)`` rather than by sequential
+execution (SURVEY.md §3.1).
+
+Round dataflow:
+    frontier_r
+      -> A1 within-round first-occurrence dedupe        (groupBy + min_by)
+      -> J2 Bloom prefilter (advisory)                   (broadcast + Arrow UDF)
+      -> J1 exact anti-join vs seen table                (left_anti)
+      -> X3 robots filter + W1 per-host budget rank      (broadcast join + window)
+      -> W2 fetch_seq assignment                         (window / distributed)
+      -> J3 fetch lookup join + X4/X5 validate           (join + mapInPandas)
+      -> append trace, append seen, update Bloom
+      -> X1/P4/P6 links -> frontier_{r+1} (+ deferred)   (explode + anti-join)
+      -> A2 metrics, CK1 snapshot commit
+
+Crash safety (CK1): the frontier overwrite is the atomic commit point;
+its metadata pins the round number, per-seed sequence counters, and the
+trusted versions of the other tables.  ``resume()`` rolls the other
+tables back to those versions, reloads the Bloom snapshot, and continues
+— a resumed run is bit-identical to an uninterrupted one (tested).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+from . import robots as robots_mod
+from . import seq as seq_mod
+from .bloom import ShardedBloom, build_partials, merge_partials_into
+from .config import EngineConfig
+from .extract import FRONTIER_SCHEMA, dedupe_first_occurrence, links_to_frontier
+from .fetch import fetch_and_validate
+from .metrics import METRICS_SCHEMA, host_metrics, partition_lineage, round_counter_rows
+from .seen import SEEN_SCHEMA
+from .snapshots import SnapshotTable
+from . import urlkit
+
+
+@dataclass
+class CrawlSummary:
+    rounds: int
+    fetched: int
+    failed: int
+    seen: int
+
+
+class CrawlEngine:
+    def __init__(self, spark: SparkSession, cfg: EngineConfig):
+        from .session import attach_package
+
+        attach_package(spark)
+        self.spark = spark
+        self.cfg = cfg
+        rd = cfg.run_dir
+        self.frontier = SnapshotTable(spark, os.path.join(rd, "frontier"), FRONTIER_SCHEMA)
+        self.seen = SnapshotTable(spark, os.path.join(rd, "seen"), SEEN_SCHEMA)
+        from .fetch import TRACE_SCHEMA
+
+        self.trace = SnapshotTable(spark, os.path.join(rd, "trace"), TRACE_SCHEMA)
+        self.metrics = SnapshotTable(spark, os.path.join(rd, "metrics"), METRICS_SCHEMA)
+        self.store = spark.read.parquet(cfg.store_path)
+        self.rules = (
+            spark.read.parquet(cfg.robots_path) if cfg.robots_path else None
+        )
+        self.bloom: ShardedBloom | None = (
+            ShardedBloom(cfg.bloom.n_bits, cfg.bloom.n_hashes, cfg.bloom.n_shards)
+            if cfg.bloom.enabled
+            else None
+        )
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def start(self, seeds: list[str]) -> CrawlSummary:
+        """Begin a crawl from a seed list (≙ POST /api/crawl body,
+        models/url_data.go:3-5).  Seed order is semantic."""
+        rows = []
+        for i, s in enumerate(seeds):
+            rows.append(
+                (i, s, urlkit.canon_ref(s), urlkit.host_of(s) or "", -1, 0, 0)
+            )
+        seeds_df = self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
+        self.seen.overwrite(self.spark.createDataFrame([], SEEN_SCHEMA))
+        self.trace.overwrite(self.spark.createDataFrame([], self.trace.schema()))
+        self.metrics.overwrite(self.spark.createDataFrame([], METRICS_SCHEMA))
+        if self.bloom is not None:
+            self.bloom.save(self._bloom_dir(0))
+        self.frontier.overwrite(
+            seeds_df,
+            meta={
+                "round": 0,
+                "seq": {},
+                "seen_v": self.seen.current_version(),
+                "trace_v": self.trace.current_version(),
+                "metrics_v": self.metrics.current_version(),
+                "bloom_v": 0,
+            },
+        )
+        return self.run()
+
+    def resume(self) -> CrawlSummary:
+        """Exact resume from the latest committed round (CK1)."""
+        meta = self.frontier.meta()
+        if not meta:
+            raise ValueError("nothing to resume: no frontier snapshot")
+        for table, key in ((self.seen, "seen_v"), (self.trace, "trace_v"), (self.metrics, "metrics_v")):
+            if meta.get(key) is not None:
+                table.rollback(meta[key])
+        if self.bloom is not None:
+            self.bloom = ShardedBloom.load(self._bloom_dir(meta["bloom_v"]))
+        return self.run()
+
+    def run(self) -> CrawlSummary:
+        while True:
+            meta = self.frontier.meta()
+            rnd = int(meta["round"])
+            if self.frontier.row_count() == 0:
+                break
+            if self.cfg.max_rounds is not None and rnd >= self.cfg.max_rounds:
+                break
+            self._round(rnd, meta)
+        tm = self.trace.meta()
+        return CrawlSummary(
+            rounds=int(self.frontier.meta()["round"]),
+            fetched=int(tm.get("fetched", 0)),
+            failed=int(tm.get("failed", 0)),
+            seen=self.seen.row_count(),
+        )
+
+    # -- one round -----------------------------------------------------------
+
+    def _bloom_dir(self, v: int) -> str:
+        return os.path.join(self.cfg.run_dir, "bloom", f"v{v}")
+
+    def _bloom_might_contain(self, df: DataFrame) -> DataFrame:
+        """Adds ``_maybe_seen`` via a broadcast Bloom membership UDF."""
+        payload = {
+            "meta": (self.bloom.n_bits, self.bloom.n_hashes, self.bloom.n_shards),
+            "shards": [sh.tobytes() for sh in self.bloom.shards],
+        }
+        bc = self.spark.sparkContext.broadcast(payload)
+
+        @F.pandas_udf(BooleanType())
+        def might(keys: pd.Series) -> pd.Series:
+            import numpy as np
+
+            p = bc.value
+            b = ShardedBloom(*p["meta"])
+            b.shards = [np.frombuffer(s, dtype=np.uint8) for s in p["shards"]]
+            return pd.Series(b.contains(keys))
+
+        key = F.concat_ws("\x1f", F.col("seed_idx").cast("string"), F.col("url_canon"))
+        return df.withColumn("_maybe_seen", might(key))
+
+    def _round(self, rnd: int, meta: dict) -> None:
+        cfg = self.cfg
+        f = self.frontier.read()
+        cand = dedupe_first_occurrence(f)
+        seen_df = self.seen.read(meta["seen_v"]).select("seed_idx", "url_canon")
+
+        # J2 Bloom prefilter: definitely-new rows skip the exact anti-join
+        if self.bloom is not None and rnd > 0:
+            cand = self._bloom_might_contain(cand)
+            sure_new = cand.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+            maybe = cand.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+            survivors = sure_new.unionByName(
+                maybe.join(seen_df, ["seed_idx", "url_canon"], "left_anti")
+            )
+        else:
+            survivors = cand.join(seen_df, ["seed_idx", "url_canon"], "left_anti")
+
+        if self.rules is not None:
+            survivors = robots_mod.apply_robots(survivors, self.rules)
+
+        # W1 politeness budget
+        deferred = None
+        if cfg.budget_mode == "per_host":
+            survivors = self._with_budget_rank(survivors).persist()
+            sched_pre = survivors.filter(F.col("_rk") <= F.col("_budget")).drop("_rk", "_budget")
+            deferred = survivors.filter(F.col("_rk") > F.col("_budget")).drop("_rk", "_budget")
+        else:
+            sched_pre = survivors
+
+        sched_pre = sched_pre.withColumn("round", F.lit(rnd).cast("int")).persist()
+        n_sched = sched_pre.count()
+
+        seq_bases = {int(k): int(v) for k, v in meta.get("seq", {}).items()}
+        trace_v, seen_v, metrics_v = meta["trace_v"], meta["seen_v"], meta["metrics_v"]
+        new_seq = dict(meta.get("seq", {}))
+        counters: dict[str, float] = {"frontier_in": self.frontier.row_count(), "scheduled": n_sched}
+
+        if n_sched > 0:
+            sched = seq_mod.assign_fetch_seq(
+                sched_pre, seq_bases, n_sched, cfg.seq_window_threshold, cfg.seq_partitions
+            )
+            traced = fetch_and_validate(sched, self.store, cfg.broadcast_store)
+            trace_v = self.trace.append(traced, meta={"round": rnd})
+            batch = self.trace.read_delta(trace_v)
+
+            newseen = batch.select(
+                "seed_idx",
+                "url_canon",
+                F.col("fetch_seq").alias("first_seq"),
+                F.lit(rnd).cast("int").alias("round"),
+            )
+            seen_v = self.seen.append(newseen)
+
+            if self.bloom is not None:
+                key = F.concat_ws(
+                    "\x1f", F.col("seed_idx").cast("string"), F.col("url_canon")
+                )
+                partials = build_partials(
+                    batch.withColumn("_bk", key),
+                    "_bk",
+                    self.bloom.n_bits,
+                    self.bloom.n_hashes,
+                    self.bloom.n_shards,
+                ).collect()
+                merge_partials_into(self.bloom, partials)
+                self.bloom.save(self._bloom_dir(rnd + 1))
+
+            seen_all = self.seen.read(seen_v).select("seed_idx", "url_canon")
+            links = links_to_frontier(batch, seen_all, rnd + 1)
+
+            # per-seed counters + fetch stats from the written batch
+            stats = (
+                batch.groupBy("seed_idx")
+                .agg(F.count("*").alias("n"), F.sum(F.col("ok").cast("long")).alias("ok"))
+                .collect()
+            )
+            n_ok = 0
+            for row in stats:
+                k = str(row["seed_idx"])
+                new_seq[k] = int(new_seq.get(k, 0)) + int(row["n"])
+                n_ok += int(row["ok"])
+            counters["fetched_ok"] = n_ok
+            counters["fetch_failed"] = n_sched - n_ok
+            tmeta = self.trace.meta()
+            self.trace.commit_meta(
+                {
+                    "fetched": int(tmeta.get("fetched", 0)) + n_ok,
+                    "failed": int(tmeta.get("failed", 0)) + (n_sched - n_ok),
+                }
+            )
+            trace_v = self.trace.current_version()
+
+            mrows = round_counter_rows(self.spark, rnd, counters)
+            mrows = mrows.unionByName(host_metrics(batch, rnd)).unionByName(
+                partition_lineage(batch, rnd)
+            )
+            metrics_v = self.metrics.append(mrows)
+        else:
+            links = self.spark.createDataFrame([], FRONTIER_SCHEMA)
+            metrics_v = self.metrics.append(round_counter_rows(self.spark, rnd, counters))
+
+        next_frontier = links if deferred is None else deferred.unionByName(links)
+        next_frontier = next_frontier.select(*[f.name for f in FRONTIER_SCHEMA.fields])
+
+        # CK1 atomic commit point
+        self.frontier.overwrite(
+            next_frontier,
+            meta={
+                "round": rnd + 1,
+                "seq": new_seq,
+                "seen_v": seen_v,
+                "trace_v": trace_v,
+                "metrics_v": metrics_v,
+                "bloom_v": (rnd + 1) if (self.bloom is not None and n_sched > 0) else meta["bloom_v"],
+            },
+        )
+        sched_pre.unpersist()
+        if deferred is not None:
+            survivors.unpersist()
+        # drop any helper caches (e.g. distributed seq assignment's range-
+        # partitioned intermediate) — nothing is cached across rounds
+        self.spark.catalog.clearCache()
+
+    # -- W1 ------------------------------------------------------------------
+
+    def _with_budget_rank(self, survivors: DataFrame) -> DataFrame:
+        """Per-host priority rank + crawl-delay budget (north_rule).  The
+        budget is fetches allowed per scheduling tick:
+        max(1, tick_seconds / crawl_delay).  Rank order is the global FIFO
+        priority (seed_idx, parent_seq, link_idx) [REF ordering]."""
+        cfg = self.cfg
+        if self.rules is not None:
+            delays = robots_mod.host_delays(self.rules, cfg.default_crawl_delay)
+            survivors = survivors.join(F.broadcast(delays), "host", "left")
+            delay = F.coalesce(F.col("crawl_delay"), F.lit(cfg.default_crawl_delay))
+        else:
+            delay = F.lit(cfg.default_crawl_delay)
+        budget = F.greatest(F.lit(1), F.floor(F.lit(cfg.tick_seconds) / delay)).cast("int")
+        w = Window.partitionBy("host").orderBy("seed_idx", "parent_seq", "link_idx")
+        out = survivors.withColumn("_budget", budget).withColumn(
+            "_rk", F.row_number().over(w)
+        )
+        return out.drop("crawl_delay") if self.rules is not None else out
+
+    # -- result accessors ----------------------------------------------------
+
+    def trace_df(self) -> DataFrame:
+        return self.trace.read()
+
+    def seen_df(self) -> DataFrame:
+        return self.seen.read()
+
+    def pages_df(self) -> DataFrame:
+        """REF-EXACT PageData records (models/page_data.go:3-7) +
+        image/caption payload + validation columns."""
+        return self.trace.read().filter(F.col("ok"))
+
+    def metrics_df(self) -> DataFrame:
+        return self.metrics.read()

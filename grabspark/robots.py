@@ -1,0 +1,69 @@
+"""X3 — robots.txt rules + crawl-delay (north-rule extension).
+
+Absent from the reference (its politeness is a global 1 s sleep,
+/root/reference/functions/main_functions.go:39).  The north rule adds
+per-host robots allow/deny rules and a crawl-delay budget.
+
+Rules table (FIXTURES.md §3): ``(host, rule_prefix, allow, crawl_delay)``.
+Matching: among a host's rules whose ``rule_prefix`` is a path prefix,
+the LONGEST prefix wins (Google-style); no matching rule => allowed.
+``crawl_delay`` is host-level (taken from the host's rules; the engine
+turns it into a per-round fetch budget: max(1, tick/crawl_delay)).
+
+Physical plan: rules are a small dimension — broadcast join on host, then
+a prefix-match + longest-prefix argmax via ``max_by``; all JVM-side
+(no Python UDF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+RULES_SCHEMA = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("rule_prefix", StringType()),
+        StructField("allow", BooleanType()),
+        StructField("crawl_delay", DoubleType()),
+    ]
+)
+
+
+def host_delays(rules: DataFrame, default_delay: float) -> DataFrame:
+    """(host, crawl_delay): max declared delay per host, default elsewhere."""
+    return rules.groupBy("host").agg(
+        F.coalesce(F.max("crawl_delay"), F.lit(default_delay)).alias("crawl_delay")
+    )
+
+
+def apply_robots(frontier: DataFrame, rules: DataFrame) -> DataFrame:
+    """Filter candidate rows to robots-allowed ones.
+
+    ``frontier`` must carry ``host`` and ``url_canon``; the path used for
+    prefix matching is everything after scheme://authority of the
+    canonical URL (computed JVM-side with string ops, not a UDF).
+    """
+    path = F.regexp_replace(F.col("url_canon"), r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*", "")
+    path = F.when(path == "", "/").otherwise(path)
+    cand = frontier.withColumn("_path", path)
+    joined = cand.join(F.broadcast(rules.select("host", "rule_prefix", "allow")), "host", "left")
+    matched = joined.withColumn(
+        "_m",
+        F.when(
+            F.col("rule_prefix").isNotNull()
+            & F.col("_path").startswith(F.col("rule_prefix")),
+            F.struct(F.length("rule_prefix").alias("l"), F.col("allow").alias("a")),
+        ),
+    )
+    decided = matched.groupBy(*[c for c in frontier.columns]).agg(
+        F.max("_m").alias("_best")  # struct max: longest prefix wins
+    )
+    return decided.filter(F.coalesce(F.col("_best.a"), F.lit(True))).drop("_best")

@@ -173,13 +173,18 @@ def _make_caption(rng: np.random.Generator, pid: str, links: list[str]) -> str:
     while li < len(links):
         body_parts.append(f'href="{links[li]}"')
         li += 1
-    body = " ".join(body_parts)
+    # split at a token boundary — never through an href marker (a cut
+    # inside a marker would fabricate whitespace-bearing URLs, which are
+    # outside the generator's vocabulary; see urlkit module docstring)
+    half = len(body_parts) // 2
+    body_a = " ".join(body_parts[:half])
+    body_b = " ".join(body_parts[half:])
     # noisy whitespace: tabs, double spaces, blank lines, trailing spaces
     return (
         f"  Title: {title}  \n"
         f"\n   \t\n"
-        f"\t{body[: len(body) // 2]}  \n"
-        f"   {body[len(body) // 2 :]}\t\n\n  "
+        f"\t{body_a}  \n"
+        f"   {body_b}\t\n\n  "
     )
 
 

@@ -42,6 +42,8 @@ def go_parse(url: str):
         raise GoParseError("invalid URL escape")
     if url.startswith("://"):
         raise GoParseError("missing protocol scheme")
+    if re.search(r"[\x00-\x1f\x7f]", url):
+        raise GoParseError("invalid control character in URL")
     sp = urlsplit(url)
     if " " in sp.netloc:
         raise GoParseError("invalid character in host name")
