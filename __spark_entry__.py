@@ -1,38 +1,160 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``    — flagship: build an image+caption page store from the
+               sf0.001 fixtures and run the full crawl engine on it,
+               returning the ordered fetch trace.
+``queries``  — one entry per implemented operator (SURVEY.md §2 +
+               training-data ops); each callable (spark, sf_dir) -> DF.
+``oracle_sql`` — equivalent DuckDB SQL per query.  Crawl-engine e2e and
+               binary image ops are rows-only (non-SQL-expressible);
+               everything else has an oracle.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+_SF0001 = "/root/testdata/sf0.001"
+
+
+def _store_from_fixtures(spark: SparkSession, sf_dir: str):
+    """Deterministic page store derived from the customer/nation parquet:
+    one page per customer on its nation's host, tree-shaped same-host
+    links (depth ~log2 n) + nation cross-links (filtered by P4)."""
+    import pandas as pd
+
+    from grabspark import imaging, synth
+
+    cust = (
+        spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+        .select("c_custkey", "c_nationkey", "c_name")
+        .toPandas()
+        .sort_values(["c_nationkey", "c_custkey"])
+    )
+    rows = []
+    for nk, grp in cust.groupby("c_nationkey"):
+        keys = list(grp["c_custkey"])
+        host = f"n{nk}.test"
+        for i, ck in enumerate(keys):
+            pid = f"http://{host}/c{ck}"
+            links = []
+            for child in (2 * i + 1, 2 * i + 2):
+                if child < len(keys):
+                    links.append(f"http://{host}/c{keys[child]}")
+            # cross-host link (dropped by the same-host filter)
+            links.append(f"http://n{(nk + 1) % 25}.test/c{keys[0]}")
+            body = " ".join(f'href="{u}"' for u in links)
+            caption = f"  Title: customer {ck}  \n\n  page of {host}\t{body}  \n"
+            w = h = 8 + (ck % 9)
+            fmt = "raw" if ck % 2 == 0 else "qraw"
+            px = imaging.pixels_from_id(pid, w, h)
+            enc = imaging.encode_image(px, fmt)
+            rows.append(
+                {
+                    "image_id": pid,
+                    "bytes": enc,
+                    "w": w,
+                    "h": h,
+                    "fmt": fmt,
+                    "caption": caption,
+                    "phash": imaging.phash64(imaging.decode_image(enc, w, h, fmt)),
+                }
+            )
+    pdf = pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"])
+    pdf["w"] = pdf["w"].astype("int32")
+    pdf["h"] = pdf["h"].astype("int32")
+    pdf["phash"] = pdf["phash"].astype("int64")
+    store = synth.SynthStore(spec=None, pdf=pdf)
+    seeds = []
+    for nk in sorted(cust["c_nationkey"].unique())[:3]:
+        k0 = cust[cust["c_nationkey"] == nk]["c_custkey"].min()
+        seeds.append(f"http://n{nk}.test/c{k0}")
+    return store, seeds
+
+
+def _run_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from grabspark import synth
+    from grabspark.config import EngineConfig
+    from grabspark.engine import CrawlEngine
+
+    store, seeds = _store_from_fixtures(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="grabspark-entry-")
+    store_path = os.path.join(base, "store.parquet")
+    synth.write_store_parquet(store, store_path)
+    eng = CrawlEngine(
+        spark, EngineConfig(run_dir=os.path.join(base, "run"), store_path=store_path)
+    )
+    eng.start(seeds)
+    return eng.trace_df().select(
+        "seed_idx", "fetch_seq", "round", "url", "url_canon", "host", "ok",
+        "title", "content", "fmt", "w", "h", "psnr_db", "pixels_ok", "phash_ok",
+    ).orderBy("seed_idx", "fetch_seq")
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full crawl (dedupe → anti-join → schedule → fetch-join →
+    validate → extract) over a store derived from sf0.001."""
+    return _run_crawl(spark, _SF0001)
+
+
+def _crawl_bfs_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_crawl(spark, sf_dir)
+
+
+def _image_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4/X5 rows-only: per-format validation summary over a synthetic
+    store (decode, PSNR vs recomputed reference pixels, phash)."""
+    from pyspark.sql import functions as F
+
+    from grabspark import synth
+    from grabspark.fetch import fetch_and_validate
+
+    spec = synth.StoreSpec(n_hosts=4, pages_per_host=12, seed=1234)
+    store = synth.build_store(spec)
+    base = tempfile.mkdtemp(prefix="grabspark-imgval-")
+    store_path = os.path.join(base, "store.parquet")
+    synth.write_store_parquet(store, store_path)
+    store_df = spark.read.parquet(store_path)
+    sched = store_df.select(
+        F.lit(0).alias("seed_idx"),
+        F.monotonically_increasing_id().alias("fetch_seq"),
+        F.lit(0).alias("round"),
+        F.col("image_id").alias("url"),
+        F.col("image_id").alias("url_canon"),
+        F.regexp_extract("image_id", r"^http://([^/]*)", 1).alias("host"),
+        F.lit(-1).cast("long").alias("parent_seq"),
+        F.lit(0).alias("link_idx"),
+    )
+    traced = fetch_and_validate(sched, store_df)
+    return (
+        traced.groupBy("fmt")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("pixels_ok").cast("long")).alias("n_pixels_ok"),
+            F.sum(F.col("phash_ok").cast("long")).alias("n_phash_ok"),
+            F.round(F.min("psnr_db"), 2).alias("min_psnr_db"),
+        )
+        .orderBy("fmt")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from grabspark import ops
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = dict(ops.all_queries())
+    out["crawl_bfs_trace"] = _crawl_bfs_trace
+    out["image_validation"] = _image_validation
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from grabspark import ops
+
+    return dict(ops.all_oracles())

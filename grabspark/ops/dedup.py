@@ -1,0 +1,255 @@
+"""Deduplication operators over the ``documents`` table.
+
+Training-data-pipeline dedup at 100 TB scale:
+
+* exact dedup        — md5-groupBy (one shuffle, partial agg)
+* n-gram Jaccard     — token-shingle inverted-index join (the scalable
+                       pairwise pattern: pairs only materialize for docs
+                       sharing a shingle)
+* MinHash + LSH      — shingle -> per-permutation min-hash signature ->
+                       banded bucket join -> candidate pairs -> exact
+                       verification.  Hashing uses md5 hex strings and
+                       lexicographic MIN so Spark and DuckDB agree
+                       bit-for-bit (no engine-specific hash functions).
+* SimHash            — per-token md5 nibbles vote per bit position; equal
+                       signatures bucket near-duplicates.
+
+Float-free outputs: similarity thresholds are integer-arithmetic
+(``K*inter >= T*union``) so the oracle comparison is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .common import T
+
+# tokens: split on whitespace, drop empties (Spark keeps trailing empties
+# with limit=-1; DuckDB string_split_regex also yields empties — both
+# filtered explicitly for parity)
+_TOKENS = "filter(split(text, '\\\\s+'), x -> x != '')"
+_TOKENS_DUCK = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
+
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup: group identical texts by md5, keep min doc_id."""
+    d = T(spark, sf, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("text_md5"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("dup_count"))
+    )
+
+
+_EXACT_SQL = """
+SELECT md5(text) AS text_md5, min(doc_id) AS keeper_doc_id, count(*) AS dup_count
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+def _shingles_df(spark: SparkSession, sf: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc (posexplode over positions)."""
+    d = T(spark, sf, "documents").select("doc_id", F.expr(_TOKENS).alias("toks"))
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(toks) - {n - 1}, 0)), "
+                f"i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"
+            )
+        ).alias("shingle"),
+    )
+    return sh.distinct()
+
+
+_SHINGLES_DUCK = """
+  SELECT DISTINCT doc_id,
+         concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
+  FROM (SELECT doc_id, {toks} AS toks FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i) g
+""".format(toks=_TOKENS_DUCK)
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs by 3-token-shingle Jaccard: inverted-index self-join
+    on shingle, integer threshold 20*inter >= 1*union (J >= 0.05).
+    Output: (doc_a, doc_b, inter, union_size) with doc_a < doc_b."""
+    sh = _shingles_df(spark, sf).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("union_size", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        .filter(F.col("inter") * 20 >= F.col("union_size"))
+        .select("doc_a", "doc_b", "inter", "union_size")
+    )
+    return out
+
+
+_JACCARD_SQL = f"""
+WITH sh AS ({_SHINGLES_DUCK}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, inter, (sa.sz + sb.sz - inter) AS union_size
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter * 20 >= (sa.sz + sb.sz - inter)
+"""
+
+# MinHash: P permutations via lexicographic min of md5(seed || shingle);
+# bands of R rows -> band key md5(concat).  Portable across engines.
+_P, _R = 12, 3  # 4 bands x 3 rows
+
+
+def minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc MinHash signature (P=12 permutations, md5-string min)."""
+    sh = _shingles_df(spark, sf)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"perm{p}|"), F.col("shingle")))).alias(f"mh{p}")
+        for p in range(_P)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+_MINSIG_SQL = f"""
+WITH sh AS ({_SHINGLES_DUCK})
+SELECT doc_id,
+  {', '.join(f"min(md5('perm{p}|' || shingle)) AS mh{p}" for p in range(_P))}
+FROM sh GROUP BY doc_id
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH candidate pairs: docs sharing any of the 4 bands (3 rows per
+    band), verified with exact integer-threshold Jaccard (J >= 0.05).
+    The banded bucket join is the 100 TB-scale path: candidates only
+    materialize within a bucket."""
+    sig = minhash_signatures(spark, sf)
+    bands = []
+    for b in range(_P // _R):
+        cols = [F.col(f"mh{b * _R + i}") for i in range(_R)]
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+            )
+        )
+    allb = bands[0]
+    for x in bands[1:]:
+        allb = allb.unionByName(x)
+    a, b = allb.alias("a"), allb.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    verified = dedup_ngram_jaccard(spark, sf).join(cand, ["doc_a", "doc_b"], "inner")
+    return verified.select("doc_a", "doc_b", "inter", "union_size")
+
+
+_BANDS_DUCK = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, md5(concat_ws('|', "
+    + ", ".join(f"mh{b * _R + i}" for i in range(_R))
+    + ")) AS bucket FROM sig"
+    for b in range(_P // _R)
+)
+
+_MINHASH_SQL = f"""
+WITH sh AS ({_SHINGLES_DUCK}),
+sig AS (
+  SELECT doc_id,
+    {', '.join(f"min(md5('perm{p}|' || shingle)) AS mh{p}" for p in range(_P))}
+  FROM sh GROUP BY doc_id
+),
+bands AS ({_BANDS_DUCK}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b, i.inter, (sa.sz + sb.sz - i.inter) AS union_size
+FROM inter i
+JOIN cand c ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.inter * 20 >= (sa.sz + sb.sz - i.inter)
+"""
+
+# SimHash: 16-bit signature; bit j votes by the j-th md5 hex nibble of
+# each token (>= '8' -> +1 else -1).
+_NB = 16
+
+
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents").select("doc_id", F.expr(_TOKENS).alias("toks"))
+    tok = d.select("doc_id", F.explode("toks").alias("tok")).withColumn(
+        "h", F.md5(F.col("tok"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.substring(F.col("h"), j + 1, 1).isin(*"89abcdef"), 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(_NB)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    bits = F.concat(*[F.when(F.col(f"v{j}") >= 0, "1").otherwise("0") for j in range(_NB)])
+    return agg.select("doc_id", bits.alias("simhash_bits"))
+
+
+_SIMHASH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, md5(unnest({_TOKENS_DUCK})) AS h FROM documents
+),
+agg AS (
+  SELECT doc_id,
+    {', '.join(f"sum(CASE WHEN substring(h, {j + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v{j}" for j in range(_NB))}
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id,
+  concat({', '.join(f"CASE WHEN v{j} >= 0 THEN '1' ELSE '0' END" for j in range(_NB))}) AS simhash_bits
+FROM agg
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "minhash_signatures": minhash_signatures,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+}
+
+ORACLES = {
+    "dedup_exact": _EXACT_SQL,
+    "dedup_ngram_jaccard": _JACCARD_SQL,
+    "minhash_signatures": _MINSIG_SQL,
+    "dedup_minhash_lsh": _MINHASH_SQL,
+    "dedup_simhash": _SIMHASH_SQL,
+}

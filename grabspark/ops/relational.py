@@ -1,0 +1,547 @@
+"""Crawl-dataflow operators (SURVEY.md §2) expressed over the TPC-H-ish
+driver fixtures, each paired with a DuckDB oracle.
+
+The crawl engine's operators are generic dataflow primitives — seen
+anti-join (J1), fetch lookup join (J3), per-host window rank + budget
+(W1/X3), global FIFO sequence (W2), first-occurrence dedupe (A1),
+metrics rollup (A2), URL canonicalization (X2), link extraction (X1),
+same-host filter (P4) — demonstrated here on the shared testdata tables
+so the driver can check them against SQL semantics.  Plan-quality notes
+inline (broadcast hints for dimension joins, single-shuffle aggs).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import udfs
+from .common import T
+
+# ---------------------------------------------------------------------------
+# baselines: scan-agg and join-agg (Catalyst showcase; pushdown + partial agg)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    l = T(spark, sf, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = T(spark, sf, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp"))
+    l = T(spark, sf, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+    # customer is the small dim: broadcast it; lineitem-orders is the big
+    # shuffle join (AQE may convert after stats)
+    j = l.join(o, F.col("l_orderkey") == F.col("o_orderkey")).join(
+        F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")
+    )
+    agg = j.groupBy("l_orderkey", "o_orderdate").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+    return agg.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10)
+
+
+_Q3_SQL = """
+SELECT l_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate  > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# J1 seen anti-join / semi join  (frontier dedupe vs the seen table)
+# ---------------------------------------------------------------------------
+
+
+def anti_join_unseen(spark: SparkSession, sf: str) -> DataFrame:
+    """Customers with no orders ≙ frontier rows absent from `seen`."""
+    c = T(spark, sf, "customer")
+    o = T(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+_ANTI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def semi_join_seen(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer")
+    o = T(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_acctbal")
+
+
+_SEMI_SQL = """
+SELECT c_custkey, c_acctbal
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def bloom_prefilter_antijoin(spark: SparkSession, sf: str) -> DataFrame:
+    """J2: same result as anti_join_unseen but routed through the sharded
+    Bloom prefilter — proves the filter is advisory (no lost/extra rows).
+    Definitely-new rows skip the exact anti-join; maybe-seen rows flow
+    through it."""
+    from pyspark.sql.types import BooleanType
+
+    from ..bloom import ShardedBloom
+
+    c = T(spark, sf, "customer")
+    o = T(spark, sf, "orders")
+    keys = [r[0] for r in o.select("o_custkey").distinct().collect()]
+    bl = ShardedBloom(n_bits=1 << 17, n_hashes=7, n_shards=8)
+    bl.add(pd.Series([str(k) for k in keys]))
+    payload = {"meta": (bl.n_bits, bl.n_hashes, bl.n_shards), "shards": [s.tobytes() for s in bl.shards]}
+    bc = spark.sparkContext.broadcast(payload)
+
+    @F.pandas_udf(BooleanType())
+    def might(k: pd.Series) -> pd.Series:
+        import numpy as np
+
+        p = bc.value
+        b = ShardedBloom(*p["meta"])
+        b.shards = [np.frombuffer(s, dtype=np.uint8) for s in p["shards"]]
+        return pd.Series(b.contains(k.astype(str)))
+
+    tagged = c.withColumn("_maybe", might(F.col("c_custkey").cast("string")))
+    sure_new = tagged.filter(~F.col("_maybe")).drop("_maybe")
+    maybe = tagged.filter(F.col("_maybe")).drop("_maybe")
+    out = sure_new.unionByName(maybe.join(o, maybe.c_custkey == o.o_custkey, "left_anti"))
+    return out.select("c_custkey", "c_name", "c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# J3 fetch lookup join (store hit/miss ≙ fetch ok/failure)
+# ---------------------------------------------------------------------------
+
+
+def fetch_lookup_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Orders look up their customer 'page'; dim filtered so some rows
+    miss — a miss is a fetch failure (ok=false), mirroring
+    main_functions.go:57-62 store-miss semantics."""
+    o = T(spark, sf, "orders")
+    store = T(spark, sf, "customer").filter(F.col("c_acctbal") > 0).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    j = o.join(F.broadcast(store), o.o_custkey == store.c_custkey, "left")
+    return j.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("c_name").isNotNull().alias("ok"),
+        "c_name",
+        "c_mktsegment",
+    )
+
+
+_FETCH_SQL = """
+SELECT o_orderkey, o_custkey,
+       (c.c_name IS NOT NULL) AS ok, c.c_name, c.c_mktsegment
+FROM orders o
+LEFT JOIN (SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_acctbal > 0) c
+  ON o.o_custkey = c.c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# W1 per-host window rank + politeness budget
+# ---------------------------------------------------------------------------
+
+
+def window_rank_per_host(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 orders per customer by (price desc, key) ≙ per-host priority
+    rank with budget 3."""
+    o = T(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "rk")
+    )
+
+
+_RANK_SQL = """
+SELECT o_custkey, o_orderkey, rk FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+) WHERE rk <= 3
+"""
+
+
+def per_host_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """W1+X3: events as a frontier; host = user bucket; per-host budget
+    from a small crawl-delay dimension (broadcast join), rank by arrival
+    (ts, event_id) and keep within budget."""
+    e = T(spark, sf, "events").withColumn(
+        "host", F.concat(F.lit("h"), (F.col("user_id") % 10).cast("string"), F.lit(".test"))
+    )
+    delays = spark.createDataFrame(
+        [(f"h{i}.test", float(1 + (i % 3))) for i in range(10)], ["host", "crawl_delay"]
+    )
+    budget = F.greatest(F.lit(1), F.floor(F.lit(6.0) / F.col("crawl_delay"))).cast("int")
+    w = Window.partitionBy("host").orderBy("ts", "event_id")
+    return (
+        e.join(F.broadcast(delays), "host")
+        .withColumn("budget", budget)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= F.col("budget"))
+        .select("host", "event_id", "rk", "budget")
+    )
+
+
+_BUDGET_SQL = """
+WITH delays AS (
+  SELECT 'h' || i || '.test' AS host, CAST(1 + (i % 3) AS DOUBLE) AS crawl_delay
+  FROM (SELECT unnest(generate_series(0, 9)) AS i)
+), fr AS (
+  SELECT 'h' || (user_id % 10) || '.test' AS host, event_id, ts FROM events
+)
+SELECT host, event_id, rk, budget FROM (
+  SELECT fr.host, fr.event_id,
+         row_number() OVER (PARTITION BY fr.host ORDER BY fr.ts, fr.event_id) AS rk,
+         CAST(greatest(1, floor(6.0 / d.crawl_delay)) AS INT) AS budget
+  FROM fr JOIN delays d ON fr.host = d.host
+) WHERE rk <= budget
+"""
+
+
+# ---------------------------------------------------------------------------
+# W2 global FIFO sequence
+# ---------------------------------------------------------------------------
+
+
+def global_fifo_seq(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic global sequence over a filtered slice ≙ fetch_seq
+    assignment in (parent_seq, link_idx) order."""
+    o = T(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-02-01").cast("timestamp"))
+    )
+    w = Window.orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey", (F.row_number().over(w) - 1).cast("long").alias("fetch_seq")
+    )
+
+
+_SEQ_SQL = """
+SELECT o_orderkey,
+       CAST(row_number() OVER (ORDER BY o_orderdate, o_orderkey) - 1 AS BIGINT) AS fetch_seq
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-02-01'
+"""
+
+
+# ---------------------------------------------------------------------------
+# A1 first-occurrence dedupe
+# ---------------------------------------------------------------------------
+
+
+def first_occurrence_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """First event per (user, type) in arrival order — the engine's A1
+    (groupBy + min_by, single shuffle with partial aggregation — cheaper
+    than a sort-based window at scale)."""
+    e = T(spark, sf, "events")
+    # composite arrival key encoded as a fixed-width string so Spark's
+    # min_by and DuckDB's arg_min agree on the same total order
+    arrival = F.concat(
+        # ts is TIMESTAMP_NTZ; session TZ is UTC so the cast matches
+        # DuckDB's naive epoch_us
+        F.lpad(F.unix_micros(F.col("ts").cast("timestamp")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        e.groupBy("user_id", "event_type")
+        .agg(
+            F.min_by(F.col("event_id"), arrival).alias("first_event_id"),
+            F.min("ts").alias("first_ts"),
+        )
+    )
+
+
+_FIRSTOCC_SQL = """
+SELECT user_id, event_type,
+       arg_min(event_id, concat(lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0'),
+                                lpad(CAST(event_id AS VARCHAR), 12, '0'))) AS first_event_id,
+       min(ts) AS first_ts
+FROM events
+GROUP BY user_id, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# X2 URL canonicalization (REF canon + NR canon_full)
+# ---------------------------------------------------------------------------
+
+_URL_BUILD = (
+    "concat('http://h', CAST(o_orderkey % 7 AS STRING), '.test/o/', "
+    "CAST(o_orderkey AS STRING), repeat('/', CAST(o_orderkey % 3 AS INT)), "
+    "CASE WHEN o_orderkey % 4 = 0 THEN '?b=2&a=1' ELSE '' END, "
+    "CASE WHEN o_orderkey % 5 = 0 THEN '#frag' ELSE '' END)"
+)
+
+_URL_BUILD_DUCK = (
+    "concat('http://h', CAST(o_orderkey % 7 AS VARCHAR), '.test/o/', "
+    "CAST(o_orderkey AS VARCHAR), repeat('/', CAST(o_orderkey % 3 AS INT)), "
+    "CASE WHEN o_orderkey % 4 = 0 THEN '?b=2&a=1' ELSE '' END, "
+    "CASE WHEN o_orderkey % 5 = 0 THEN '#frag' ELSE '' END)"
+)
+
+
+def url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
+    """REF-EXACT canon_ref (trailing-slash strip of the path only,
+    text_utils.go:10-22) via the engine's Arrow UDF on constructed URLs."""
+    o = T(spark, sf, "orders")
+    u = o.select("o_orderkey", F.expr(_URL_BUILD).alias("url"))
+    return u.withColumn("url_canon", udfs.canon_ref_udf(F.col("url")))
+
+
+_CANON_SQL = f"""
+SELECT o_orderkey, url,
+       regexp_replace(url,
+         '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*)([^?#]*?)/*(\\?[^#]*)?(#.*)?$',
+         '\\1\\2\\3\\4') AS url_canon
+FROM (SELECT o_orderkey, {_URL_BUILD_DUCK} AS url FROM orders)
+"""
+
+
+def url_canon_full(spark: SparkSession, sf: str) -> DataFrame:
+    """NR-EXT canon_full: lowercase host, strip port + fragment, sort
+    query params (BASELINE.json north_star)."""
+    o = T(spark, sf, "orders")
+    build = (
+        "concat('http://H', CAST(o_orderkey % 7 AS STRING), "
+        "CASE WHEN o_orderkey % 2 = 0 THEN '.TEST:8080/o/' ELSE '.test/o/' END, "
+        "CAST(o_orderkey AS STRING), repeat('/', CAST(o_orderkey % 3 AS INT)), "
+        "CASE WHEN o_orderkey % 4 = 0 THEN '?b=2&a=1' ELSE '' END, "
+        "CASE WHEN o_orderkey % 5 = 0 THEN '#frag' ELSE '' END)"
+    )
+    u = o.select("o_orderkey", F.expr(build).alias("url"))
+    return u.withColumn("url_canon_full", udfs.canon_full_udf(F.col("url")))
+
+
+_CANON_FULL_SQL = """
+WITH u AS (
+  SELECT o_orderkey,
+         concat('http://H', CAST(o_orderkey % 7 AS VARCHAR),
+                CASE WHEN o_orderkey % 2 = 0 THEN '.TEST:8080/o/' ELSE '.test/o/' END,
+                CAST(o_orderkey AS VARCHAR), repeat('/', CAST(o_orderkey % 3 AS INT)),
+                CASE WHEN o_orderkey % 4 = 0 THEN '?b=2&a=1' ELSE '' END,
+                CASE WHEN o_orderkey % 5 = 0 THEN '#frag' ELSE '' END) AS url
+  FROM orders
+)
+SELECT o_orderkey, url,
+       concat('http://h', CAST(o_orderkey % 7 AS VARCHAR), '.test/o/',
+              CAST(o_orderkey AS VARCHAR),
+              CASE WHEN o_orderkey % 4 = 0 THEN '?a=1&b=2' ELSE '' END) AS url_canon_full
+FROM u
+"""
+
+
+# ---------------------------------------------------------------------------
+# P4 same-host filter + X1 link extraction
+# ---------------------------------------------------------------------------
+
+
+def same_host_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Keep links whose host equals the page host — exact, case-sensitive
+    (main_functions.go:145); unparsable links drop (null host)."""
+    o = T(spark, sf, "orders")
+    pairs = o.select(
+        "o_orderkey",
+        F.expr(
+            "concat('http://h', CAST(o_custkey % 5 AS STRING), '.test/page')"
+        ).alias("page_url"),
+        F.expr(
+            "CASE WHEN o_orderkey % 4 = 0 THEN concat('http://h', CAST(o_custkey % 5 AS STRING), '.test/next') "
+            "     WHEN o_orderkey % 4 = 1 THEN concat('http://h', CAST((o_custkey + 1) % 5 AS STRING), '.test/x') "
+            "     WHEN o_orderkey % 4 = 2 THEN concat('http://H', CAST(o_custkey % 5 AS STRING), '.TEST/case') "
+            "     ELSE 'notaurl' END"
+        ).alias("link"),
+    )
+    kept = pairs.withColumn("page_host", udfs.host_of_udf(F.col("page_url"))).withColumn(
+        "link_host", udfs.host_of_udf(F.col("link"))
+    )
+    return kept.filter(F.col("link_host") == F.col("page_host")).select(
+        "o_orderkey", "page_url", "link"
+    )
+
+
+_SAMEHOST_SQL = """
+WITH pairs AS (
+  SELECT o_orderkey,
+         concat('http://h', CAST(o_custkey % 5 AS VARCHAR), '.test/page') AS page_url,
+         CASE WHEN o_orderkey % 4 = 0 THEN concat('http://h', CAST(o_custkey % 5 AS VARCHAR), '.test/next')
+              WHEN o_orderkey % 4 = 1 THEN concat('http://h', CAST((o_custkey + 1) % 5 AS VARCHAR), '.test/x')
+              WHEN o_orderkey % 4 = 2 THEN concat('http://H', CAST(o_custkey % 5 AS VARCHAR), '.TEST/case')
+              ELSE 'notaurl' END AS link
+  FROM orders
+)
+SELECT o_orderkey, page_url, link FROM pairs
+WHERE regexp_extract(link, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/:?#]*)', 1)
+      = regexp_extract(page_url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/:?#]*)', 1)
+  AND regexp_extract(link, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/:?#]*)', 1) <> ''
+"""
+
+
+def link_extract_explode(spark: SparkSession, sf: str) -> DataFrame:
+    """X1: ordered href extraction + posexplode (DOM order ->
+    link_idx), JVM-side regexp (no Python)."""
+    p = T(spark, sf, "part")
+    cap = p.select(
+        "p_partkey",
+        F.expr(
+            "concat('see href=\"http://h', CAST(p_partkey % 5 AS STRING), '.test/a', CAST(p_partkey AS STRING), "
+            "'\" mid href=\"http://h', CAST(p_partkey % 5 AS STRING), '.test/b', CAST(p_size AS STRING), '\" end')"
+        ).alias("caption"),
+    )
+    links = cap.select(
+        "p_partkey",
+        F.posexplode(F.expr("regexp_extract_all(caption, 'href=\"([^\"]*)\"', 1)")).alias(
+            "link_idx", "link"
+        ),
+    )
+    return links
+
+
+_EXTRACT_SQL = """
+WITH cap AS (
+  SELECT p_partkey,
+         concat('see href="http://h', CAST(p_partkey % 5 AS VARCHAR), '.test/a', CAST(p_partkey AS VARCHAR),
+                '" mid href="http://h', CAST(p_partkey % 5 AS VARCHAR), '.test/b', CAST(p_size AS VARCHAR), '" end') AS caption
+  FROM part
+), ex AS (
+  SELECT p_partkey, regexp_extract_all(caption, 'href="([^"]*)"', 1) AS links FROM cap
+)
+SELECT p_partkey,
+       unnest(generate_series(0, len(links) - 1)) AS link_idx,
+       unnest(links) AS link
+FROM ex
+"""
+
+
+# ---------------------------------------------------------------------------
+# A2 metrics rollup + streaming-style tumbling window
+# ---------------------------------------------------------------------------
+
+
+def metrics_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "events")
+    return (
+        e.groupBy("event_type", F.to_date(F.col("ts")).alias("day"))
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+_METRICS_SQL = """
+SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+       count(*) AS n, count(DISTINCT user_id) AS users,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY event_type, date_trunc('day', ts)
+"""
+
+
+def event_window_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling 1-hour window agg — the batch shape of the streaming
+    frontier-metrics pipeline (grabspark.streaming runs the same logical
+    plan with readStream + watermark)."""
+    e = T(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+_WINDOW_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "anti_join_unseen": anti_join_unseen,
+    "semi_join_seen": semi_join_seen,
+    "bloom_prefilter_antijoin": bloom_prefilter_antijoin,
+    "fetch_lookup_join": fetch_lookup_join,
+    "window_rank_per_host": window_rank_per_host,
+    "per_host_budget": per_host_budget,
+    "global_fifo_seq": global_fifo_seq,
+    "first_occurrence_dedup": first_occurrence_dedup,
+    "url_canonicalize": url_canonicalize,
+    "url_canon_full": url_canon_full,
+    "same_host_filter": same_host_filter,
+    "link_extract_explode": link_extract_explode,
+    "metrics_rollup": metrics_rollup,
+    "event_window_agg": event_window_agg,
+}
+
+ORACLES = {
+    "q1_pricing_summary": _Q1_SQL,
+    "q3_shipping_priority": _Q3_SQL,
+    "anti_join_unseen": _ANTI_SQL,
+    "semi_join_seen": _SEMI_SQL,
+    "bloom_prefilter_antijoin": _ANTI_SQL,  # must equal the exact anti-join
+    "fetch_lookup_join": _FETCH_SQL,
+    "window_rank_per_host": _RANK_SQL,
+    "per_host_budget": _BUDGET_SQL,
+    "global_fifo_seq": _SEQ_SQL,
+    "first_occurrence_dedup": _FIRSTOCC_SQL,
+    "url_canonicalize": _CANON_SQL,
+    "url_canon_full": _CANON_FULL_SQL,
+    "same_host_filter": _SAMEHOST_SQL,
+    "link_extract_explode": _EXTRACT_SQL,
+    "metrics_rollup": _METRICS_SQL,
+    "event_window_agg": _WINDOW_SQL,
+}

@@ -1,0 +1,223 @@
+"""Text analysis over ``documents``: cleanup, token counting, quality
+scoring, language-ID heuristic, fingerprinting.
+
+Crawl-operator lineage: text cleanup is the REF-EXACT F2/F3/F4 chain
+(utils/text_utils.go:24-49) applied to document text; fingerprints and
+quality stats are the training-data-pipeline extensions.  Outputs are
+integers/strings wherever possible so oracle comparison is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import udfs
+from .common import T
+
+_TOKENS = "filter(split(text, '\\\\s+'), x -> x != '')"
+_TOKENS_DUCK = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
+
+def text_cleanup(spark: SparkSession, sf: str) -> DataFrame:
+    """F4→F2→F3 reference cleanup chain via the engine's Arrow UDF."""
+    d = T(spark, sf, "documents")
+    return d.select("doc_id", udfs.clean_text_udf(F.col("text")).alias("clean"))
+
+
+_CLEAN_SQL = """
+SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS clean
+FROM documents
+"""
+
+
+def token_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Whitespace tokens + BPE-ish word-piece count (alnum runs) + chars."""
+    d = T(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.expr(f"size({_TOKENS})").alias("ws_tokens"),
+        F.expr("size(filter(split(text, '[^A-Za-z0-9]+'), x -> x != ''))").alias(
+            "word_tokens"
+        ),
+        F.length("text").alias("chars"),
+    )
+
+
+_TOKCOUNT_SQL = f"""
+SELECT doc_id,
+       len({_TOKENS_DUCK}) AS ws_tokens,
+       len(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'), x -> x <> '')) AS word_tokens,
+       length(text) AS chars
+FROM documents
+"""
+
+_STOPWORDS = ["the", "a", "of", "to", "and"]
+
+
+def quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality stats as exact integers: stopword hits, token count, char
+    classes, plus an integer score bucket (percent stopwords)."""
+    d = T(spark, sf, "documents").withColumn("toks", F.expr(_TOKENS))
+    stop_arr = "array(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
+    return d.select(
+        "doc_id",
+        F.expr("size(toks)").alias("n_tokens"),
+        F.expr(f"size(filter(toks, x -> array_contains({stop_arr}, x)))").alias("n_stop"),
+        F.expr("length(regexp_replace(text, '[^.,;:!?]', ''))").alias("n_punct"),
+        F.expr("length(regexp_replace(text, '[^0-9]', ''))").alias("n_digit"),
+        F.expr(
+            f"CAST(floor(100.0 * size(filter(toks, x -> array_contains({stop_arr}, x))) "
+            "/ greatest(size(toks), 1)) AS INT)"
+        ).alias("stop_pct"),
+    )
+
+
+_QUALITY_SQL = f"""
+WITH d AS (SELECT doc_id, text, {_TOKENS_DUCK} AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(list_filter(toks, x -> list_contains(['the','a','of','to','and'], x))) AS n_stop,
+       length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+       length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+       CAST(floor(100.0 * len(list_filter(toks, x -> list_contains(['the','a','of','to','and'], x)))
+            / greatest(len(toks), 1)) AS INT) AS stop_pct
+FROM d
+"""
+
+# language-ID heuristic: argmax of marker-token hits, ties -> lexicographic
+_MARKERS = {
+    "en": ["the", "data", "fast"],
+    "es": ["filter", "row", "key"],
+    "zh": ["query", "group", "table"],
+    "de": ["join", "sort", "hash"],
+}
+
+
+def lang_id_heuristic(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents").withColumn("toks", F.expr(_TOKENS))
+    counts = [
+        F.expr(
+            "size(filter(toks, x -> array_contains(array("
+            + ", ".join(f"'{w}'" for w in ws)
+            + "), x)))"
+        ).alias(f"c_{lang}")
+        for lang, ws in _MARKERS.items()
+    ]
+    scored = d.select("doc_id", "lang", *counts)
+    # argmax with lexicographic tie-break via greatest over structs
+    pairs = ", ".join(f"struct(c_{lang} AS c, '{lang}' AS l)" for lang in sorted(_MARKERS, reverse=True))
+    best = f"greatest({pairs}).l"
+    return scored.select(
+        "doc_id",
+        F.expr(best).alias("lang_guess"),
+        (F.expr(best) == F.col("lang")).alias("matches_label"),
+    )
+
+
+def _langid_sql() -> str:
+    count_cols = ", ".join(
+        "len(list_filter(toks, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in ws)
+        + "], x))) AS c_" + lang
+        for lang, ws in _MARKERS.items()
+    )
+    unpivot = " UNION ALL ".join(
+        f"SELECT doc_id, lang, '{lang}' AS cand, c_{lang} AS cnt FROM c"
+        for lang in _MARKERS
+    )
+    # argmax with (count DESC, lang DESC) tie-break == Spark's
+    # greatest(struct(c, l)) pick
+    return f"""
+WITH d AS (SELECT doc_id, lang, {_TOKENS_DUCK} AS toks FROM documents),
+c AS (SELECT doc_id, lang, {count_cols} FROM d),
+u AS ({unpivot}),
+r AS (
+  SELECT doc_id, lang, cand,
+         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, cand DESC) AS rk
+  FROM u
+)
+SELECT doc_id, cand AS lang_guess, (cand = lang) AS matches_label
+FROM r WHERE rk = 1
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Document fingerprint: md5 of the cleaned text (exact-dup key) —
+    portable across engines because both md5 the same UTF-8 bytes."""
+    d = T(spark, sf, "documents")
+    clean = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return d.select(
+        "doc_id", F.md5(clean).alias("fingerprint"), F.length(clean).alias("clean_len")
+    )
+
+
+_FP_SQL = """
+SELECT doc_id,
+       md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint,
+       length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS clean_len
+FROM documents
+"""
+
+
+def winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing (MOSS-style) fingerprint: k-gram md5 hashes, min per
+    sliding window of w, distinct mins summarized per doc.  String-min
+    keeps it engine-portable."""
+    k, w = 8, 4
+    d = T(spark, sf, "documents")
+    grams = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(text) - {k - 1}, 1)), "
+                f"i -> md5(substring(text, i, {k})))"
+            )
+        ).alias("pos", "gh"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    mins = grams.withColumn("wmin", F.min("gh").over(win))
+    return (
+        mins.groupBy("doc_id")
+        .agg(
+            F.countDistinct("wmin").alias("n_fp"),
+            F.md5(F.concat_ws("|", F.array_sort(F.collect_set("wmin")))).alias("fp_set_md5"),
+        )
+    )
+
+
+_WINNOW_SQL = """
+WITH grams AS (
+  SELECT doc_id, i AS pos, md5(substring(text, i, 8)) AS gh
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i) g
+),
+mins AS (
+  SELECT doc_id,
+         min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+  FROM grams
+)
+SELECT doc_id, count(DISTINCT wmin) AS n_fp,
+       md5(string_agg(DISTINCT wmin, '|' ORDER BY wmin)) AS fp_set_md5
+FROM mins GROUP BY doc_id
+"""
+
+
+QUERIES = {
+    "text_cleanup": text_cleanup,
+    "token_count": token_count,
+    "quality_score": quality_score,
+    "lang_id_heuristic": lang_id_heuristic,
+    "doc_fingerprint": doc_fingerprint,
+    "winnow_fingerprints": winnow_fingerprints,
+}
+
+ORACLES = {
+    "text_cleanup": _CLEAN_SQL,
+    "token_count": _TOKCOUNT_SQL,
+    "quality_score": _QUALITY_SQL,
+    "lang_id_heuristic": _langid_sql(),
+    "doc_fingerprint": _FP_SQL,
+    "winnow_fingerprints": _WINNOW_SQL,
+}
