@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the frontier
+scheduling-round throughput (the BASELINE.json north metric).  Prints
+ONE JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "frontier": {"n": ..., "urls_per_sec": ..., "scheduled": ...}}
+
+Runnable both as `python bench.py` and
+`spark-submit --py-files grabspark.zip bench.py`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+FRONTIER_N = int(os.environ.get("SPARK_GRAFT_FRONTIER_N", "2000000"))
+
+# headline subset: one per operator family, heavy enough to matter at sf0.1
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "anti_join_unseen",
+    "bloom_prefilter_antijoin",
+    "window_rank_per_host",
+    "per_host_budget",
+    "first_occurrence_dedup",
+    "url_canonicalize",
+    "link_extract_explode",
+    "metrics_rollup",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "knn_per_label",
+    "text_cleanup",
+    "quality_score",
+    "winnow_fingerprints",
+    "event_window_agg",
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("grabspark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(int(CPUS) * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from grabspark.session import attach_package
+
+    attach_package(spark)
+
+    from grabspark import ops
+
+    queries = ops.all_queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = queries[name](spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        spark.catalog.clearCache()  # no cross-query cache accumulation
+
+    # frontier scheduling-round throughput (north metric)
+    from grabspark import bench_core
+
+    base = tempfile.mkdtemp(prefix="grabspark-bench-")
+    seen_path = bench_core.synth_seen(
+        spark, FRONTIER_N, FRONTIER_N, 1024, os.path.join(base, "seen")
+    )
+    store_path = bench_core.synth_store(
+        spark, FRONTIER_N // 2, FRONTIER_N, 1024, os.path.join(base, "store")
+    )
+    bl = bench_core.build_seen_bloom(spark, seen_path, n_bits=1 << 25)
+    # warm-up round (JIT/codegen), then the measured round
+    bench_core.run_frontier_round(spark, FRONTIER_N // 4, seen_path, store_path, bl)
+    fr = bench_core.run_frontier_round(spark, FRONTIER_N, seen_path, store_path, bl)
+    print(
+        f"# frontier: {fr.n_frontier} urls in {fr.elapsed_sec:.2f}s = "
+        f"{fr.urls_per_sec:,.0f} urls/s ({fr.scheduled} scheduled)",
+        file=sys.stderr,
+    )
+
+    total = round(sum(timings.values()) + fr.elapsed_sec, 3)
+    out = {
+        "metric": "headline_ops_total+frontier_round",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "frontier": {
+            "n": fr.n_frontier,
+            "elapsed_sec": round(fr.elapsed_sec, 3),
+            "urls_per_sec": round(fr.urls_per_sec),
+            "scheduled": fr.scheduled,
+            "n_seen": fr.n_seen,
+            "n_store": fr.n_store,
+            "cpus": int(CPUS),
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,218 @@
+"""Frontier-throughput benchmark core (BASELINE.json metric:
+"frontier-dedupe + scheduled-fetch URLs/sec on a 10^10-URL synthetic
+frontier").
+
+Everything is generated distributed-ly with ``spark.range`` — no driver-
+side data, no bulk collect — so the same code is honest at cluster
+scale.  URL ids live on a lattice inside the 10^10 keyspace (the
+*addressable* frontier space; one measured round materializes a
+machine-sized batch, exactly as a real 10^10 crawl processes rounds, not
+the whole space at once — caveat recorded in BENCH/BASELINE.md).
+
+Key-space design (shared lattice so the stages do real work):
+  candidates fold into [0, 0.7u)  -> ~1.4 duplicate rows per key (A1)
+  seen table draws from [0, 2u)   -> ~40% of candidate keys already seen (J1/J2)
+  store covers [0, 0.5u)          -> ~70% fetch hit rate (J3)
+
+One measured "scheduling round" is the engine's real dataflow:
+  Arrow-UDF canonicalize+host-parse (X2) -> first-occurrence dedupe (A1)
+  -> Bloom prefilter (J2, map-side before the shuffle) -> exact
+  anti-join vs seen (J1) -> salted two-phase per-host rank + politeness
+  budget (W1; 30% hot-host skew) -> fetch lookup join (J3) -> count.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import udfs
+from .bloom import ShardedBloom, build_partials, merge_partials_into
+from .extract import dedupe_first_occurrence
+
+KEYSPACE = 10_000_000_000  # 10^10 addressable URL ids
+
+
+@dataclass
+class FrontierBenchResult:
+    n_frontier: int
+    n_seen: int
+    n_store: int
+    scheduled: int
+    elapsed_sec: float
+    urls_per_sec: float
+
+
+def _stride(space_unit: int) -> int:
+    return max(KEYSPACE // (4 * space_unit), 1)
+
+
+def _host_expr(key_col: str, n_hosts: int, hot_frac: float = 0.3):
+    """Host id with a hot host: ``hot_frac`` of rows land on host 0 —
+    the skew the salted rank must absorb."""
+    h = F.pmod(F.xxhash64(F.col(key_col) + 7), F.lit(1000))
+    return F.when(h < int(hot_frac * 1000), F.lit(0)).otherwise(
+        F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_hosts))
+    )
+
+
+def _canon_url(key_col: str, host_col: str):
+    return F.concat(
+        F.lit("http://h"),
+        F.col(host_col).cast("string"),
+        F.lit(".test/p"),
+        F.col(key_col).cast("string"),
+    )
+
+
+def synth_candidates(spark: SparkSession, n: int, n_hosts: int) -> DataFrame:
+    """n candidate frontier rows over lattice keys in [0, 0.7n);
+    ~20% carry trailing-slash surface variants (canon does real work)."""
+    space = max(int(n * 0.7), 1)
+    st = _stride(n)
+    return (
+        spark.range(n)
+        .withColumn("k", F.pmod(F.xxhash64(F.col("id")), F.lit(space)) * st)
+        .withColumn("hostid", _host_expr("k", n_hosts))
+        .select(
+            F.lit(0).alias("seed_idx"),
+            F.concat(
+                _canon_url("k", "hostid"),
+                F.when(F.pmod(F.xxhash64(F.col("k") + 99), 5) == 0, F.lit("/")).otherwise(F.lit("")),
+            ).alias("url"),
+            F.col("id").cast("long").alias("parent_seq"),
+            F.lit(0).alias("link_idx"),
+            F.lit(0).alias("birth_round"),
+        )
+    )
+
+
+def synth_seen(spark: SparkSession, n: int, n_frontier: int, n_hosts: int, path: str) -> str:
+    """Seen table over lattice keys in [0, 2*n_frontier)."""
+    space = max(2 * n_frontier, 1)
+    st = _stride(n_frontier)
+    (
+        spark.range(n)
+        .withColumn("k", F.pmod(F.xxhash64(F.col("id") + 13), F.lit(space)) * st)
+        .withColumn("hostid", _host_expr("k", n_hosts))
+        .select(
+            F.lit(0).alias("seed_idx"),
+            _canon_url("k", "hostid").alias("url_canon"),
+            F.col("id").cast("long").alias("first_seq"),
+            F.lit(0).alias("round"),
+        )
+        .dropDuplicates(["url_canon"])
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
+def synth_store(spark: SparkSession, n: int, n_frontier: int, n_hosts: int, path: str) -> str:
+    """Page store covering lattice keys [0, n) (n ~ 0.5*n_frontier for a
+    ~70% hit rate); metadata payload only — the scheduling metric joins,
+    full decode is benchmarked separately."""
+    st = _stride(n_frontier)
+    (
+        spark.range(n)
+        .withColumn("k", F.col("id") * st)
+        .withColumn("hostid", _host_expr("k", n_hosts))
+        .select(
+            _canon_url("k", "hostid").alias("image_id"),
+            F.lit(24).alias("w"),
+            F.lit(24).alias("h"),
+            F.lit("raw").alias("fmt"),
+            F.md5(F.col("k").cast("string")).alias("caption"),
+            F.xxhash64("k").alias("phash"),
+        )
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
+def build_seen_bloom(
+    spark: SparkSession, seen_path: str, n_bits: int, n_hashes: int = 7, n_shards: int = 64
+) -> ShardedBloom:
+    seen = spark.read.parquet(seen_path)
+    bl = ShardedBloom(n_bits, n_hashes, n_shards)
+    key = F.concat_ws("\x1f", F.col("seed_idx").cast("string"), F.col("url_canon"))
+    partials = build_partials(
+        seen.withColumn("_bk", key), "_bk", n_bits, n_hashes, n_shards
+    ).collect()
+    merge_partials_into(bl, partials)
+    return bl
+
+
+def run_frontier_round(
+    spark: SparkSession,
+    n_frontier: int,
+    seen_path: str,
+    store_path: str | None,
+    bl: ShardedBloom | None,
+    n_hosts: int = 1024,
+    host_budget: int = 20_000,
+    salt_buckets: int = 16,
+) -> FrontierBenchResult:
+    from pyspark.sql.types import BooleanType
+
+    cand_raw = synth_candidates(spark, n_frontier, n_hosts)
+    seen = spark.read.parquet(seen_path).select("seed_idx", "url_canon")
+    store = spark.read.parquet(store_path) if store_path else None
+
+    t0 = time.time()
+    cand = cand_raw.withColumn("url_canon", udfs.canon_ref_udf(F.col("url"))).withColumn(
+        "host", udfs.host_of_udf(F.col("url"))
+    )
+    cand = dedupe_first_occurrence(cand)
+    if bl is not None:
+        from .bloom import make_might_contain
+
+        might = make_might_contain(spark, bl)
+        key = F.concat_ws("\x1f", F.col("seed_idx").cast("string"), F.col("url_canon"))
+        cand = cand.withColumn("_maybe", might(key))
+        survivors = cand.filter(~F.col("_maybe")).drop("_maybe").unionByName(
+            cand.filter(F.col("_maybe"))
+            .drop("_maybe")
+            .join(seen, ["seed_idx", "url_canon"], "left_anti")
+        )
+    else:
+        survivors = cand.join(seen, ["seed_idx", "url_canon"], "left_anti")
+
+    # W1: salted two-phase top-k per host; phase 1 bounds every window
+    # partition to <= budget rows, so the hot host costs salt_buckets
+    # parallel sorts instead of one giant one
+    salt = F.pmod(F.xxhash64("url_canon"), F.lit(salt_buckets))
+    w1 = Window.partitionBy("host", "_salt").orderBy("parent_seq", "link_idx")
+    phase1 = (
+        survivors.withColumn("_salt", salt)
+        .withColumn("_rk1", F.row_number().over(w1))
+        .filter(F.col("_rk1") <= host_budget)
+    )
+    w2 = Window.partitionBy("host").orderBy("parent_seq", "link_idx")
+    sched = (
+        phase1.withColumn("_rk2", F.row_number().over(w2))
+        .filter(F.col("_rk2") <= host_budget)
+        .drop("_salt", "_rk1", "_rk2")
+    )
+    if store is not None:
+        sched = sched.join(
+            store.select("image_id", "fmt", "phash"),
+            udfs.fetch_key_udf(F.col("url")) == F.col("image_id"),
+            "left",
+        )
+    n_sched = sched.count()
+    elapsed = time.time() - t0
+
+    return FrontierBenchResult(
+        n_frontier=n_frontier,
+        n_seen=seen.count(),
+        n_store=store.count() if store is not None else 0,
+        scheduled=n_sched,
+        elapsed_sec=elapsed,
+        urls_per_sec=n_frontier / elapsed if elapsed > 0 else float("inf"),
+    )

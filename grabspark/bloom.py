@@ -42,59 +42,62 @@ def key_hashes(keys: pd.Series) -> tuple[np.ndarray, np.ndarray]:
 
 
 class ShardedBloom:
+    """Flat bitmap internally (vectorized O(n*k) membership with direct
+    byte indexing — no per-shard loop); ``shards`` exposes equal-sized
+    contiguous views for distributed build / merge / persistence."""
+
     def __init__(self, n_bits: int = 1 << 20, n_hashes: int = 7, n_shards: int = 16):
-        assert n_bits % n_shards == 0
+        assert n_bits % (8 * n_shards) == 0
         self.n_bits = int(n_bits)
         self.n_hashes = int(n_hashes)
         self.n_shards = int(n_shards)
         self.shard_bits = self.n_bits // self.n_shards
-        self.shards = [
-            np.zeros(self.shard_bits // 8, dtype=np.uint8) for _ in range(self.n_shards)
-        ]
+        self._bits = np.zeros(self.n_bits // 8, dtype=np.uint8)
+
+    @property
+    def shards(self) -> list[np.ndarray]:
+        sb = self.shard_bits // 8
+        return [self._bits[i * sb : (i + 1) * sb] for i in range(self.n_shards)]
+
+    @shards.setter
+    def shards(self, arrays: list[np.ndarray]) -> None:
+        self._bits = np.concatenate([np.asarray(a, dtype=np.uint8) for a in arrays])
+        assert self._bits.size == self.n_bits // 8
 
     # -- positions -----------------------------------------------------------
 
-    def _positions(self, keys: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-        """(shard_idx, bit_in_shard) arrays of shape (n_keys, n_hashes)."""
+    def _positions(self, keys: pd.Series) -> np.ndarray:
+        """(n_keys, n_hashes) flat bit positions via double hashing."""
         h1, h2 = key_hashes(keys)
         ks = np.arange(self.n_hashes, dtype=np.uint64)
-        pos = (h1[:, None] + ks[None, :] * h2[:, None]) % np.uint64(self.n_bits)
-        return (pos // np.uint64(self.shard_bits)).astype(np.int64), (
-            pos % np.uint64(self.shard_bits)
-        ).astype(np.int64)
+        return (h1[:, None] + ks[None, :] * h2[:, None]) % np.uint64(self.n_bits)
 
     # -- local ops -----------------------------------------------------------
 
     def add(self, keys: pd.Series) -> None:
         if len(keys) == 0:
             return
-        sh, bit = self._positions(keys)
-        for s in range(self.n_shards):
-            mask = sh == s
-            if mask.any():
-                b = bit[mask]
-                np.bitwise_or.at(self.shards[s], b // 8, (1 << (b % 8)).astype(np.uint8))
+        pos = self._positions(keys).ravel()
+        np.bitwise_or.at(
+            self._bits, (pos >> np.uint64(3)).astype(np.int64), (1 << (pos & np.uint64(7))).astype(np.uint8)
+        )
 
     def contains(self, keys: pd.Series) -> np.ndarray:
         if len(keys) == 0:
             return np.zeros(0, dtype=bool)
-        sh, bit = self._positions(keys)  # each (n_keys, n_hashes)
-        hit = np.zeros(sh.shape, dtype=bool)
-        for s in range(self.n_shards):
-            mask = sh == s
-            if mask.any():
-                b = bit[mask]
-                hit[mask] = (self.shards[s][b // 8] & (1 << (b % 8)).astype(np.uint8)) != 0
+        pos = self._positions(keys)
+        hit = (
+            self._bits[(pos >> np.uint64(3)).astype(np.int64)]
+            & (1 << (pos & np.uint64(7))).astype(np.uint8)
+        ) != 0
         return hit.all(axis=1)
 
     def or_merge(self, other: "ShardedBloom") -> None:
         assert (other.n_bits, other.n_shards) == (self.n_bits, self.n_shards)
-        for s in range(self.n_shards):
-            np.bitwise_or(self.shards[s], other.shards[s], out=self.shards[s])
+        np.bitwise_or(self._bits, other._bits, out=self._bits)
 
     def fill_ratio(self) -> float:
-        set_bits = sum(int(np.unpackbits(sh).sum()) for sh in self.shards)
-        return set_bits / self.n_bits
+        return int(np.unpackbits(self._bits).sum()) / self.n_bits
 
     # -- persistence (resume) ------------------------------------------------
 
@@ -113,6 +116,30 @@ class ShardedBloom:
         b = cls(n_bits, n_hashes, n_shards)
         b.shards = [z[f"s{i}"].copy() for i in range(n_shards)]
         return b
+
+
+# -- broadcast membership ----------------------------------------------------
+
+def make_might_contain(spark, bl: "ShardedBloom"):
+    """Broadcast the filter once and return an Arrow-batched membership
+    UDF.  Reconstruction on the worker is zero-copy (frombuffer over the
+    broadcast bytes)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BooleanType
+
+    payload = {"meta": (bl.n_bits, bl.n_hashes, bl.n_shards), "bits": bl._bits.tobytes()}
+    bc = spark.sparkContext.broadcast(payload)
+
+    @F.pandas_udf(BooleanType())
+    def might(keys: pd.Series) -> pd.Series:
+        import numpy as np
+
+        p = bc.value
+        b = ShardedBloom(*p["meta"])
+        b._bits = np.frombuffer(p["bits"], dtype=np.uint8)
+        return pd.Series(b.contains(keys))
+
+    return might
 
 
 # -- distributed build -------------------------------------------------------

@@ -149,21 +149,9 @@ class CrawlEngine:
 
     def _bloom_might_contain(self, df: DataFrame) -> DataFrame:
         """Adds ``_maybe_seen`` via a broadcast Bloom membership UDF."""
-        payload = {
-            "meta": (self.bloom.n_bits, self.bloom.n_hashes, self.bloom.n_shards),
-            "shards": [sh.tobytes() for sh in self.bloom.shards],
-        }
-        bc = self.spark.sparkContext.broadcast(payload)
+        from .bloom import make_might_contain
 
-        @F.pandas_udf(BooleanType())
-        def might(keys: pd.Series) -> pd.Series:
-            import numpy as np
-
-            p = bc.value
-            b = ShardedBloom(*p["meta"])
-            b.shards = [np.frombuffer(s, dtype=np.uint8) for s in p["shards"]]
-            return pd.Series(b.contains(keys))
-
+        might = make_might_contain(self.spark, self.bloom)
         key = F.concat_ws("\x1f", F.col("seed_idx").cast("string"), F.col("url_canon"))
         return df.withColumn("_maybe_seen", might(key))
 

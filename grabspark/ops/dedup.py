@@ -137,9 +137,16 @@ FROM sh GROUP BY doc_id
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """LSH candidate pairs: docs sharing any of the 4 bands (3 rows per
     band), verified with exact integer-threshold Jaccard (J >= 0.05).
-    The banded bucket join is the 100 TB-scale path: candidates only
-    materialize within a bucket."""
-    sig = minhash_signatures(spark, sf)
+    This is the 100 TB-scale shape: candidates only materialize within a
+    band bucket, and the exact verification joins shingles for CANDIDATE
+    pairs only — the full pairwise shingle join never runs."""
+    sh = _shingles_df(spark, sf).persist()
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"perm{p}|"), F.col("shingle")))).alias(f"mh{p}")
+            for p in range(_P)
+        ]
+    )
     bands = []
     for b in range(_P // _R):
         cols = [F.col(f"mh{b * _R + i}") for i in range(_R)]
@@ -164,8 +171,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    verified = dedup_ngram_jaccard(spark, sf).join(cand, ["doc_a", "doc_b"], "inner")
-    return verified.select("doc_a", "doc_b", "inter", "union_size")
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sha, "doc_a")
+        .join(shb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb2 = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb2, "doc_b")
+        .withColumn("union_size", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        .filter(F.col("inter") * 20 >= F.col("union_size"))
+        .select("doc_a", "doc_b", "inter", "union_size")
+    )
 
 
 _BANDS_DUCK = " UNION ALL ".join(

@@ -124,27 +124,14 @@ def bloom_prefilter_antijoin(spark: SparkSession, sf: str) -> DataFrame:
     Bloom prefilter — proves the filter is advisory (no lost/extra rows).
     Definitely-new rows skip the exact anti-join; maybe-seen rows flow
     through it."""
-    from pyspark.sql.types import BooleanType
-
-    from ..bloom import ShardedBloom
+    from ..bloom import ShardedBloom, make_might_contain
 
     c = T(spark, sf, "customer")
     o = T(spark, sf, "orders")
     keys = [r[0] for r in o.select("o_custkey").distinct().collect()]
     bl = ShardedBloom(n_bits=1 << 17, n_hashes=7, n_shards=8)
     bl.add(pd.Series([str(k) for k in keys]))
-    payload = {"meta": (bl.n_bits, bl.n_hashes, bl.n_shards), "shards": [s.tobytes() for s in bl.shards]}
-    bc = spark.sparkContext.broadcast(payload)
-
-    @F.pandas_udf(BooleanType())
-    def might(k: pd.Series) -> pd.Series:
-        import numpy as np
-
-        p = bc.value
-        b = ShardedBloom(*p["meta"])
-        b.shards = [np.frombuffer(s, dtype=np.uint8) for s in p["shards"]]
-        return pd.Series(b.contains(k.astype(str)))
-
+    might = make_might_contain(spark, bl)
     tagged = c.withColumn("_maybe", might(F.col("c_custkey").cast("string")))
     sure_new = tagged.filter(~F.col("_maybe")).drop("_maybe")
     maybe = tagged.filter(F.col("_maybe")).drop("_maybe")
