@@ -67,10 +67,16 @@ class ShardedBloom:
     # -- positions -----------------------------------------------------------
 
     def _positions(self, keys: pd.Series) -> np.ndarray:
-        """(n_keys, n_hashes) flat bit positions via double hashing."""
+        """(n_hashes, n_keys) flat bit positions via double hashing —
+        per-hash in-place ops, no large broadcast temporaries."""
         h1, h2 = key_hashes(keys)
-        ks = np.arange(self.n_hashes, dtype=np.uint64)
-        return (h1[:, None] + ks[None, :] * h2[:, None]) % np.uint64(self.n_bits)
+        out = np.empty((self.n_hashes, len(h1)), dtype=np.uint64)
+        nb = np.uint64(self.n_bits)
+        for i in range(self.n_hashes):
+            np.multiply(h2, np.uint64(i), out=out[i])
+            out[i] += h1
+            out[i] %= nb
+        return out
 
     # -- local ops -----------------------------------------------------------
 
@@ -85,12 +91,15 @@ class ShardedBloom:
     def contains(self, keys: pd.Series) -> np.ndarray:
         if len(keys) == 0:
             return np.zeros(0, dtype=bool)
-        pos = self._positions(keys)
-        hit = (
-            self._bits[(pos >> np.uint64(3)).astype(np.int64)]
-            & (1 << (pos & np.uint64(7))).astype(np.uint8)
-        ) != 0
-        return hit.all(axis=1)
+        pos = self._positions(keys)  # (k, n)
+        hit = np.ones(pos.shape[1], dtype=bool)
+        for i in range(self.n_hashes):
+            p = pos[i]
+            hit &= (
+                self._bits[(p >> np.uint64(3)).astype(np.int64)]
+                & (1 << (p & np.uint64(7))).astype(np.uint8)
+            ) != 0
+        return hit
 
     def or_merge(self, other: "ShardedBloom") -> None:
         assert (other.n_bits, other.n_shards) == (self.n_bits, self.n_shards)
