@@ -1,0 +1,158 @@
+"""Structured Streaming surface: live crawl telemetry + incremental seen
+maintenance.
+
+The reference has no streaming (its "stream" is a synchronous HTTP
+handler blocking until the crawl ends, handlers/crawl.go:47-55).  At
+100 TB scale the crawl's trace/metrics stream is itself big data, so the
+engine exposes its tables as streams:
+
+* ``stream_trace_metrics`` — readStream over the trace table's data
+  directory (new round batches arrive as new parquet files), tumbling-
+  window per-host fetch counters with a watermark for late batches.
+  The same logical plan as ops.relational.event_window_agg's batch shape.
+* ``stream_seen_updates`` — foreachBatch sink that appends newly-seen
+  keys into a SnapshotTable and folds them into a ShardedBloom — the
+  streaming form of the engine's per-round seen/Bloom maintenance.
+* ``host_rate_monitor`` — stateful per-host fetch-rate tracking with
+  ``applyInPandasWithState`` (politeness enforcement as a streaming
+  operator: emits hosts whose rate exceeds their crawl-delay budget).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+TRACE_STREAM_SCHEMA = StructType(
+    [
+        StructField("seed_idx", IntegerType()),
+        StructField("fetch_seq", LongType()),
+        StructField("round", IntegerType()),
+        StructField("host", StringType()),
+        StructField("ok", StringType()),  # parquet bool read as-is; cast downstream
+        StructField("event_time", TimestampType()),
+    ]
+)
+
+
+def read_trace_stream(spark: SparkSession, trace_data_dir: str, schema: StructType) -> DataFrame:
+    """File-source stream over a trace data directory (each engine round
+    appends new parquet files => new micro-batch)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(os.path.join(trace_data_dir, "*"))
+    )
+
+
+def stream_trace_metrics(trace_stream: DataFrame, window: str = "1 minute", watermark: str = "2 minutes") -> DataFrame:
+    """Per-host tumbling-window fetch counters with late-data watermark."""
+    return (
+        trace_stream.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window).alias("win"), F.col("host"))
+        .agg(
+            F.count("*").alias("fetches"),
+            F.sum(F.col("ok").cast("long")).alias("fetched_ok"),
+        )
+        .select(F.col("win.start").alias("window_start"), "host", "fetches", "fetched_ok")
+    )
+
+
+def stream_seen_updates(
+    spark: SparkSession,
+    trace_stream: DataFrame,
+    seen_table,
+    bloom,
+    checkpoint_dir: str,
+):
+    """foreachBatch sink: append newly-seen keys to the snapshot table and
+    fold them into the Bloom filter — streaming seen/Bloom maintenance."""
+    from .bloom import build_partials, merge_partials_into
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        new = batch_df.select("seed_idx", "url_canon", "fetch_seq", "round")
+        seen_table.append(
+            new.withColumnRenamed("fetch_seq", "first_seq"), meta={"stream_batch": batch_id}
+        )
+        key = F.concat_ws("\x1f", F.col("seed_idx").cast("string"), F.col("url_canon"))
+        partials = build_partials(
+            new.withColumn("_bk", key), "_bk", bloom.n_bits, bloom.n_hashes, bloom.n_shards
+        ).collect()
+        merge_partials_into(bloom, partials)
+
+    return (
+        trace_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+RATE_STATE_SCHEMA = StructType(
+    [StructField("fetches", LongType()), StructField("first_us", LongType()), StructField("last_us", LongType())]
+)
+RATE_OUT_SCHEMA = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("fetches", LongType()),
+        StructField("window_sec", DoubleType()),
+        StructField("rate_per_sec", DoubleType()),
+        StructField("over_budget", StringType()),
+    ]
+)
+
+
+def make_rate_monitor(budget_per_sec: float):
+    """Stateful per-host rate tracker (applyInPandasWithState kernel)."""
+
+    def fn(key, pdfs, state: GroupState):
+        host = key[0]
+        fetches, first_us, last_us = (
+            state.get if state.exists else (0, None, None)
+        )
+        for pdf in pdfs:
+            ts = pd.to_datetime(pdf["event_time"]).astype("int64") // 1000
+            fetches += len(pdf)
+            lo, hi = int(ts.min()), int(ts.max())
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+        state.update((fetches, first_us, last_us))
+        span = max((last_us - first_us) / 1e6, 1e-6)
+        rate = fetches / span if fetches > 1 else float(fetches)
+        yield pd.DataFrame(
+            {
+                "host": [host],
+                "fetches": [fetches],
+                "window_sec": [span],
+                "rate_per_sec": [rate],
+                "over_budget": [str(rate > budget_per_sec)],
+            }
+        )
+
+    return fn
+
+
+def host_rate_monitor(trace_stream: DataFrame, budget_per_sec: float) -> DataFrame:
+    return (
+        trace_stream.withWatermark("event_time", "2 minutes")
+        .groupBy("host")
+        .applyInPandasWithState(
+            make_rate_monitor(budget_per_sec),
+            outputStructType=RATE_OUT_SCHEMA,
+            stateStructType=RATE_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,119 @@
+"""Structured Streaming surface: file-source trace stream, windowed
+metrics with watermark, foreachBatch seen/Bloom maintenance, stateful
+rate monitor."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from grabspark import streaming
+from grabspark.bloom import ShardedBloom
+from grabspark.seen import SEEN_SCHEMA
+from grabspark.snapshots import SnapshotTable
+
+SCHEMA = StructType(
+    [
+        StructField("seed_idx", IntegerType()),
+        StructField("url_canon", StringType()),
+        StructField("fetch_seq", LongType()),
+        StructField("round", IntegerType()),
+        StructField("host", StringType()),
+        StructField("ok", BooleanType()),
+        StructField("event_time", TimestampType()),
+    ]
+)
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).write.mode("append").parquet(path)
+
+
+def _rows(round_no, host, n, base_ts):
+    ts = pd.Timestamp(base_ts)
+    return [
+        (
+            0,
+            f"http://{host}/p{round_no}_{i}",
+            round_no * 100 + i,
+            round_no,
+            host,
+            True,
+            (ts + pd.Timedelta(seconds=i)).to_pydatetime(),
+        )
+        for i in range(n)
+    ]
+
+
+@pytest.fixture()
+def trace_dir(spark, tmp_path):
+    d = str(tmp_path / "trace_stream")
+    _write_batch(spark, d, _rows(0, "a.test", 5, "2024-01-01 00:00:00"))
+    _write_batch(spark, d, _rows(1, "b.test", 3, "2024-01-01 00:00:30"))
+    return d
+
+
+def test_windowed_metrics_stream(spark, trace_dir, tmp_path):
+    src = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 4).parquet(trace_dir)
+    )
+    agg = streaming.stream_trace_metrics(src, window="1 minute", watermark="2 minutes")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("m1")
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.host, str(r.window_start), r.fetches)
+        for r in spark.sql("select * from m1").collect()
+    }
+    assert ("a.test", "2024-01-01 00:00:00", 5) in got
+    assert ("b.test", "2024-01-01 00:00:00", 3) in got
+
+
+def test_foreachbatch_seen_and_bloom(spark, trace_dir, tmp_path):
+    seen = SnapshotTable(spark, str(tmp_path / "seen"), SEEN_SCHEMA)
+    seen.overwrite(spark.createDataFrame([], SEEN_SCHEMA))
+    bloom = ShardedBloom(1 << 14, 5, 8)
+    src = spark.readStream.schema(SCHEMA).parquet(trace_dir)
+    q = streaming.stream_seen_updates(
+        spark, src, seen, bloom, str(tmp_path / "ck2")
+    ).start()
+    q.awaitTermination(120)
+    got = seen.read().count()
+    assert got == 8  # 5 + 3 rows across the two batches
+    keys = pd.Series([f"0\x1fhttp://a.test/p0_{i}" for i in range(5)])
+    assert bloom.contains(keys).all()
+
+
+def test_stateful_rate_monitor(spark, trace_dir, tmp_path):
+    src = spark.readStream.schema(SCHEMA).parquet(trace_dir)
+    mon = streaming.host_rate_monitor(src, budget_per_sec=0.5)
+    q = (
+        mon.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("rates")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.host: r for r in spark.sql("select * from rates").collect()}
+    assert rows["a.test"].fetches == 5
+    assert rows["b.test"].fetches == 3
+    # a.test: 5 fetches over 4s span = 1.25/s > 0.5 budget
+    assert rows["a.test"].over_budget == "True"
