@@ -81,7 +81,7 @@ def _store_from_fixtures(spark: SparkSession, sf_dir: str):
 
 def _run_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grabspark import synth
-    from grabspark.config import EngineConfig
+    from grabspark.config import BloomConfig, EngineConfig
     from grabspark.engine import CrawlEngine
 
     store, seeds = _store_from_fixtures(spark, sf_dir)
@@ -89,7 +89,15 @@ def _run_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     store_path = os.path.join(base, "store.parquet")
     synth.write_store_parquet(store, store_path)
     eng = CrawlEngine(
-        spark, EngineConfig(run_dir=os.path.join(base, "run"), store_path=store_path)
+        spark,
+        EngineConfig(
+            run_dir=os.path.join(base, "run"),
+            store_path=store_path,
+            # bloom adds 2 jobs/round; the smoke stays lean — the Bloom
+            # path is exercised by bloom_prefilter_antijoin + the e2e suite
+            bloom=BloomConfig(enabled=False),
+            broadcast_store=True,  # the fixture store is dimension-sized
+        ),
     )
     eng.start(seeds)
     return eng.trace_df().select(

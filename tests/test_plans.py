@@ -1,0 +1,92 @@
+"""Plan-quality guards: pushdown, pruning, broadcast, partial aggregation.
+
+These pin the physical-plan properties the 100 TB design depends on —
+if a refactor silently turns a broadcast join into a shuffle join or
+breaks scan pruning, these fail."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_filter_pushdown(spark):
+    from grabspark.ops.relational import q1_pricing_summary
+
+    p = plan(q1_pricing_summary(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # column pruning: only the needed columns reach the scan
+    assert "l_partkey" not in p.split("ReadSchema")[1].split("\n")[0]
+    # map-side partial aggregation before the shuffle
+    assert "partial_" in p.lower() or "HashAggregate" in p
+
+
+def test_fetch_join_store_scan_pruned(spark, tmp_path):
+    from grabspark import synth
+    from grabspark.fetch import fetch_and_validate
+
+    store = synth.build_store(synth.StoreSpec(n_hosts=2, pages_per_host=4))
+    sp = str(tmp_path / "store.parquet")
+    synth.write_store_parquet(store, sp)
+    store_df = spark.read.parquet(sp)
+    sched = spark.createDataFrame(
+        [(0, 0, 0, "http://host0.test/p0", "http://host0.test/p0", "host0.test", -1, 0)],
+        "seed_idx int, fetch_seq long, round int, url string, url_canon string, host string, parent_seq long, link_idx int",
+    )
+    p = plan(fetch_and_validate(sched, store_df, broadcast_store=True))
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_dim_joins_are_broadcast(spark):
+    from grabspark.ops.relational import fetch_lookup_join, per_host_budget
+
+    assert "BroadcastHashJoin" in plan(fetch_lookup_join(spark, SF))
+    assert "BroadcastHashJoin" in plan(per_host_budget(spark, SF))
+
+
+def test_dedupe_is_single_shuffle_partial_agg(spark, tmp_path):
+    """A1 uses groupBy+min_by: ONE Exchange with a partial_min_by on the
+    map side (sort-based combine), and no Window (a window implementation
+    would shuffle everything then sort per partition with no combine)."""
+    from grabspark.extract import FRONTIER_SCHEMA, dedupe_first_occurrence
+
+    d = str(tmp_path / "f")
+    spark.createDataFrame(
+        [(0, "http://h.test/p1", "http://h.test/p1", "h.test", 1, 0, 0)], FRONTIER_SCHEMA
+    ).write.parquet(d)
+    import re
+
+    p = plan(dedupe_first_occurrence(spark.read.parquet(d)))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1  # one shuffle node
+    assert "partial_min_by" in p
+    assert "Window" not in p
+
+
+def test_anti_join_shape(spark):
+    from grabspark.ops.relational import anti_join_unseen
+
+    p = plan(anti_join_unseen(spark, SF))
+    assert "LeftAnti" in p
+    # only the join key is read from the orders side
+    read = [ln for ln in p.splitlines() if "ReadSchema" in ln and "o_custkey" in ln]
+    assert read and all("o_totalprice" not in ln for ln in read)
+
+
+def test_no_cartesian_in_ops(spark):
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    for name in ["dedup_minhash_lsh", "knn_per_label", "window_rank_per_host"]:
+        p = plan(qs[name](spark, SF))
+        assert "CartesianProduct" not in p, name
