@@ -23,6 +23,8 @@ One measured "scheduling round" is the engine's real dataflow:
 
 from __future__ import annotations
 
+import os
+import sys
 import time
 from dataclasses import dataclass
 
@@ -69,11 +71,16 @@ def _canon_url(key_col: str, host_col: str):
     )
 
 
-def synth_candidates(spark: SparkSession, n: int, n_hosts: int) -> DataFrame:
-    """n candidate frontier rows over lattice keys in [0, 0.7n);
-    ~20% carry trailing-slash surface variants (canon does real work)."""
-    space = max(int(n * 0.7), 1)
-    st = _stride(n)
+def synth_candidates(
+    spark: SparkSession, n: int, n_hosts: int, space_unit: int | None = None
+) -> DataFrame:
+    """n candidate frontier rows over lattice keys in [0, 0.7u);
+    ~20% carry trailing-slash surface variants (canon does real work).
+    ``space_unit`` pins the lattice (pass the full-round size when
+    generating a smaller warm-up batch so seen/store overlap holds)."""
+    u = space_unit or n
+    space = max(int(u * 0.7), 1)
+    st = _stride(u)
     return (
         spark.range(n)
         .withColumn("k", F.pmod(F.xxhash64(F.col("id")), F.lit(space)) * st)
@@ -157,10 +164,19 @@ def run_frontier_round(
     n_hosts: int = 1024,
     host_budget: int = 20_000,
     salt_buckets: int = 16,
+    space_unit: int | None = None,
 ) -> FrontierBenchResult:
     from pyspark.sql.types import BooleanType
 
-    cand_raw = synth_candidates(spark, n_frontier, n_hosts)
+    debug = os.environ.get("GRABSPARK_BENCH_DEBUG") == "1"
+
+    def _dbg(label: str, df):
+        if debug:
+            t = time.time()
+            n = df.count()
+            print(f"## stage {label}: +{time.time() - t:.2f}s n={n}", file=sys.stderr, flush=True)
+
+    cand_raw = synth_candidates(spark, n_frontier, n_hosts, space_unit)
     seen = spark.read.parquet(seen_path).select("seed_idx", "url_canon")
     store = spark.read.parquet(store_path) if store_path else None
 
@@ -169,19 +185,24 @@ def run_frontier_round(
         "host", udfs.host_of_udf(F.col("url"))
     )
     cand = dedupe_first_occurrence(cand)
+    _dbg("dedupe", cand)
+    tagged = None
     if bl is not None:
         from .bloom import make_might_contain
 
         might = make_might_contain(spark, bl)
         key = F.concat_ws("\x1f", F.col("seed_idx").cast("string"), F.col("url_canon"))
-        cand = cand.withColumn("_maybe", might(key))
-        survivors = cand.filter(~F.col("_maybe")).drop("_maybe").unionByName(
-            cand.filter(F.col("_maybe"))
+        # persist the tagged candidates: the two branches of the split
+        # must not recompute the canon/dedupe/bloom chain twice
+        tagged = cand.withColumn("_maybe", might(key)).persist()
+        survivors = tagged.filter(~F.col("_maybe")).drop("_maybe").unionByName(
+            tagged.filter(F.col("_maybe"))
             .drop("_maybe")
             .join(seen, ["seed_idx", "url_canon"], "left_anti")
         )
     else:
         survivors = cand.join(seen, ["seed_idx", "url_canon"], "left_anti")
+    _dbg("survivors", survivors)
 
     # W1: salted two-phase top-k per host; phase 1 bounds every window
     # partition to <= budget rows, so the hot host costs salt_buckets
@@ -199,6 +220,7 @@ def run_frontier_round(
         .filter(F.col("_rk2") <= host_budget)
         .drop("_salt", "_rk1", "_rk2")
     )
+    _dbg("budget-rank", sched)
     if store is not None:
         sched = sched.join(
             store.select("image_id", "fmt", "phash"),
@@ -207,6 +229,8 @@ def run_frontier_round(
         )
     n_sched = sched.count()
     elapsed = time.time() - t0
+    if tagged is not None:
+        tagged.unpersist()
 
     return FrontierBenchResult(
         n_frontier=n_frontier,

@@ -162,10 +162,13 @@ class CrawlEngine:
         seen_df = self.seen.read(meta["seen_v"]).select("seed_idx", "url_canon")
 
         # J2 Bloom prefilter: definitely-new rows skip the exact anti-join
+        tagged = None
         if self.bloom is not None and rnd > 0:
-            cand = self._bloom_might_contain(cand)
-            sure_new = cand.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
-            maybe = cand.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+            # persist: the split's two branches must not recompute the
+            # dedupe/bloom chain twice
+            tagged = self._bloom_might_contain(cand).persist()
+            sure_new = tagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+            maybe = tagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
             survivors = sure_new.unionByName(
                 maybe.join(seen_df, ["seed_idx", "url_canon"], "left_anti")
             )

@@ -1,0 +1,147 @@
+"""Unit tests: snapshot tables (CK1), sequence assignment (W2), robots
+matching (X3)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from grabspark import robots as robots_mod
+from grabspark import seq as seq_mod
+from grabspark.snapshots import SnapshotTable
+
+
+# -- snapshots ---------------------------------------------------------------
+
+def test_snapshot_append_overwrite_rollback(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    df = lambda *vals: spark.createDataFrame([(v,) for v in vals], "x int")
+    v0 = t.overwrite(df(1, 2), meta={"round": 0})
+    v1 = t.append(df(3), meta={"round": 1})
+    assert t.row_count() == 3
+    assert {r.x for r in t.read().collect()} == {1, 2, 3}
+    # time travel
+    assert {r.x for r in t.read(v0).collect()} == {1, 2}
+    assert {r.x for r in t.read_delta(v1).collect()} == {3}
+    # meta accumulates on append
+    assert t.meta()["round"] == 1
+    # rollback points CURRENT at the old state via a NEW version
+    v2 = t.rollback(v0)
+    assert v2 > v1
+    assert {r.x for r in t.read().collect()} == {1, 2}
+    # commit_meta keeps data, bumps meta
+    t.commit_meta({"note": "x"})
+    assert t.meta()["note"] == "x"
+    assert t.row_count() == 2
+
+
+def test_snapshot_empty_read_has_schema(spark, tmp_path):
+    from grabspark.seen import SEEN_SCHEMA
+
+    t = SnapshotTable(spark, str(tmp_path / "e"), SEEN_SCHEMA)
+    t.overwrite(spark.createDataFrame([], SEEN_SCHEMA))
+    got = t.read()
+    assert got.count() == 0
+    assert got.schema == SEEN_SCHEMA
+    # a fresh handle recovers the schema from the manifest
+    t2 = SnapshotTable(spark, str(tmp_path / "e"))
+    assert t2.read().schema == SEEN_SCHEMA
+
+
+def test_snapshot_current_pointer_is_atomic_file(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "a"))
+    t.overwrite(spark.createDataFrame([(1,)], "x int"))
+    cur = os.path.join(str(tmp_path / "a"), "CURRENT")
+    assert os.path.exists(cur)
+    v = int(open(cur).read())
+    m = json.load(open(os.path.join(str(tmp_path / "a"), "snapshots", f"v{v}.json")))
+    assert all(os.path.exists(f) for f in m["files"])
+
+
+# -- seq ---------------------------------------------------------------------
+
+@pytest.fixture()
+def seq_frontier(spark):
+    rows = []
+    for seed in (0, 1):
+        for ps in (3, 1, 2, -1):
+            for li in (2, 0, 1):
+                rows.append((seed, f"u{seed}-{ps}-{li}", f"u{seed}-{ps}-{li}", "h", ps, li, 0))
+    from grabspark.extract import FRONTIER_SCHEMA
+
+    return spark.createDataFrame(rows, FRONTIER_SCHEMA).repartition(5)
+
+
+def _seqs(df):
+    out = {}
+    for r in df.select("seed_idx", "url", "fetch_seq").collect():
+        out[(r.seed_idx, r.url)] = r.fetch_seq
+    return out
+
+
+def test_window_and_distributed_seq_agree(spark, seq_frontier):
+    bases = {0: 10, 1: 0}
+    w = seq_mod._assign_window(seq_frontier, bases)
+    d = seq_mod._assign_distributed(seq_frontier, bases, 4)
+    assert _seqs(w) == _seqs(d)
+    # contiguous per seed, starting at the base
+    got = _seqs(w)
+    s0 = sorted(v for (s, _), v in got.items() if s == 0)
+    assert s0 == list(range(10, 10 + len(s0)))
+    # FIFO order: (-1, 0) sorts first within seed 1
+    first = min(((k, v) for k, v in got.items() if k[0] == 1), key=lambda kv: kv[1])
+    assert first[0][1] == "u1--1-0"
+
+
+def test_assign_auto_threshold(spark, seq_frontier):
+    small = seq_mod.assign_fetch_seq(seq_frontier, {}, n_rows=10, threshold=100)
+    big = seq_mod.assign_fetch_seq(seq_frontier, {}, n_rows=1000, threshold=100, n_partitions=3)
+    assert _seqs(small) == _seqs(big)
+
+
+# -- robots ------------------------------------------------------------------
+
+def _rules(spark, rows):
+    return spark.createDataFrame(rows, robots_mod.RULES_SCHEMA)
+
+
+def _frontier(spark, urls):
+    from grabspark.extract import FRONTIER_SCHEMA
+
+    rows = [
+        (0, u, u, u.split("/")[2], i, 0, 0) for i, u in enumerate(urls)
+    ]
+    return spark.createDataFrame(rows, FRONTIER_SCHEMA)
+
+
+def test_robots_longest_prefix_wins(spark):
+    rules = _rules(
+        spark,
+        [
+            ("h.test", "/", True, 1.0),
+            ("h.test", "/private", False, 1.0),
+            ("h.test", "/private/open", True, 1.0),
+        ],
+    )
+    f = _frontier(
+        spark,
+        [
+            "http://h.test/a",
+            "http://h.test/private/x",
+            "http://h.test/private/open/y",
+            "http://other.test/anything",  # no rules -> allowed
+        ],
+    )
+    got = {r.url for r in robots_mod.apply_robots(f, rules).collect()}
+    assert got == {
+        "http://h.test/a",
+        "http://h.test/private/open/y",
+        "http://other.test/anything",
+    }
+
+
+def test_robots_host_delays(spark):
+    rules = _rules(spark, [("a.test", "/", True, 2.5), ("a.test", "/x", False, 0.5)])
+    got = {r.host: r.crawl_delay for r in robots_mod.host_delays(rules, 1.0).collect()}
+    assert got == {"a.test": 2.5}
