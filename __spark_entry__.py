@@ -24,18 +24,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 _SF0001 = "/root/testdata/sf0.001"
 
 
-def _store_from_fixtures(spark: SparkSession, sf_dir: str):
+def _store_from_fixtures(sf_dir: str):
     """Deterministic page store derived from the customer/nation parquet:
     one page per customer on its nation's host, tree-shaped same-host
-    links (depth ~log2 n) + nation cross-links (filtered by P4)."""
+    links (depth ~log2 n) + nation cross-links (filtered by P4).
+    Pure pandas/pyarrow (no Spark) so tests/make_golden.py builds the
+    IDENTICAL store + seed list for the independent oracle crawl."""
     import pandas as pd
 
     from grabspark import imaging, synth
 
     cust = (
-        spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
-        .select("c_custkey", "c_nationkey", "c_name")
-        .toPandas()
+        pd.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_nationkey", "c_name"],
+        )
         .sort_values(["c_nationkey", "c_custkey"])
     )
     rows = []
@@ -84,7 +87,7 @@ def _run_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grabspark.config import BloomConfig, EngineConfig
     from grabspark.engine import CrawlEngine
 
-    store, seeds = _store_from_fixtures(spark, sf_dir)
+    store, seeds = _store_from_fixtures(sf_dir)
     base = tempfile.mkdtemp(prefix="grabspark-entry-")
     store_path = os.path.join(base, "store.parquet")
     synth.write_store_parquet(store, store_path)
@@ -113,7 +116,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _crawl_bfs_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _run_crawl(spark, sf_dir)
+    """[REF-EXACT] full-crawl trace, graded against the committed golden
+    parquet produced by the INDEPENDENT oracle (tests/make_golden.py:
+    pure-python Go transliteration over the identical store) — columns
+    restricted to exact-typed values (no free floats)."""
+    return _run_crawl(spark, sf_dir).select(
+        "seed_idx", "fetch_seq", "round", "url", "url_canon", "host", "ok",
+        "title", "content", "fmt", "w", "h", "pixels_ok", "phash_ok",
+    )
 
 
 def _image_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -147,7 +157,10 @@ def _image_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.sum(F.col("pixels_ok").cast("long")).alias("n_pixels_ok"),
             F.sum(F.col("phash_ok").cast("long")).alias("n_phash_ok"),
-            F.round(F.min("psnr_db"), 2).alias("min_psnr_db"),
+            # qraw only: raw is lossless (psnr inf, not finitely hashable)
+            F.round(
+                F.min(F.when(F.col("fmt") == "qraw", F.col("psnr_db"))), 2
+            ).alias("min_qraw_psnr_db"),
         )
         .orderBy("fmt")
     )
@@ -165,4 +178,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from grabspark import ops
 
-    return dict(ops.all_oracles())
+    out = dict(ops.all_oracles())
+    # goldens from the independent pure-python oracle (tests/make_golden.py).
+    # The driver compares at sf=0.01; the golden embeds that scale's trace.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    trace_golden = os.path.join(repo, "tests", "golden", "crawl_bfs_trace_sf0_01.parquet")
+    imgval_golden = os.path.join(repo, "tests", "golden", "image_validation.parquet")
+    out["crawl_bfs_trace"] = f"SELECT * FROM read_parquet('{trace_golden}')"
+    out["image_validation"] = f"SELECT * FROM read_parquet('{imgval_golden}')"
+    return out

@@ -1,17 +1,24 @@
 #!/usr/bin/env python
-"""Ping-pong scaling measurement: two long-lived Spark JVMs (local[8] and
-local[32]) alternate short frontier rounds on the same pre-generated
-input, so each (8, 32) pair runs seconds apart inside the same sandbox
-"CPU weather" window.  Efficiency is computed PER PAIR; the report gives
-the median and best pair efficiency — robust to the ~10x background
-variation of this box's effective CPU.
+"""Paired scaling measurement: two long-lived Spark JVMs (local[N] and
+local[4N]) run the SAME frontier round CONCURRENTLY on disjoint vCPU
+sets, so both halves of every pair see the identical sandbox "CPU
+weather" (this box's effective CPU varies ~10x over minutes; an
+alternating protocol breaks down as soon as rounds take longer than the
+weather's correlation time — measured: a 165 s N-round followed by a
+280 s 4N-round of the same work).  Under concurrent execution the
+hypervisor's pressure applies to both configs at once, and with
+proportional vCPU shares (4 vs 16 of 32, interleaved across the index
+range to hedge placement bias) the per-pair ratio isolates the quantity
+under test: how much of the round's work actually parallelizes.
+Efficiency is computed PER PAIR; the report gives the median and best —
+still robust to residual noise.
 
 Worker protocol (file-based):  worker writes  <dir>/ready-<cores>;
-orchestrator writes <dir>/go-<cores>-<i>; worker runs one round, writes
-<dir>/res-<cores>-<i>.json; orchestrator alternates 8 -> 32 -> pair done.
+orchestrator writes go-<cores>-<i> for BOTH workers at once; each runs
+one round and writes res-<cores>-<i>.json; orchestrator collects both.
 
 Usage:
-    bench_pingpong.py --orchestrate [--n-frontier 2000000] [--pairs 8]
+    bench_pingpong.py --orchestrate [--n-frontier 8000000] [--pairs 6]
     bench_pingpong.py --worker --cores N --data DIR --ctl DIR --pairs K
 """
 
@@ -74,10 +81,20 @@ def orchestrate(n_frontier: int, pairs: int, core_pair: tuple[int, int] = (4, 16
     )
     ctl = tempfile.mkdtemp(prefix="grabspark-pp-ctl-")
     procs = []
+    # DISJOINT, INTERLEAVED cpu affinity: without binding, the small
+    # config borrows the whole machine's cache/bandwidth/turbo for its
+    # few threads — an unfair advantage a real N-executor cluster would
+    # not have (each executor there owns proportional hardware).
+    # Interleaving (4N on even vCPUs, N on the next odd ones) hedges
+    # against any index-correlated placement bias in the hypervisor.
+    evens = [str(c) for c in range(0, 2 * hi, 2)]
+    odds = [str(c) for c in range(1, 2 * lo, 2)]
+    cpu_sets = {hi: ",".join(evens), lo: ",".join(odds)}
     for cores in (lo, hi):
         procs.append(
             subprocess.Popen(
-                ["spark-submit", "--master", f"local[{cores}]", "--driver-memory", "40g",
+                ["taskset", "-c", cpu_sets[cores],
+                 "spark-submit", "--master", f"local[{cores}]", "--driver-memory", "40g",
                  "--py-files", z, os.path.join(REPO, "bench_pingpong.py"),
                  "--worker", "--cores", str(cores), "--data", data_dir,
                  "--ctl", ctl, "--pairs", str(pairs)],
@@ -88,8 +105,9 @@ def orchestrate(n_frontier: int, pairs: int, core_pair: tuple[int, int] = (4, 16
             time.sleep(0.5)
     results = {lo: [], hi: []}
     for i in range(pairs):
-        for cores in (lo, hi):  # strictly alternating, seconds apart
+        for cores in (lo, hi):  # release BOTH at once: identical weather
             open(os.path.join(ctl, f"go-{cores}-{i}"), "w").write("1")
+        for cores in (lo, hi):
             res = os.path.join(ctl, f"res-{cores}-{i}.json")
             while not os.path.exists(res):
                 time.sleep(0.2)
@@ -107,9 +125,11 @@ def orchestrate(n_frontier: int, pairs: int, core_pair: tuple[int, int] = (4, 16
     ]
     best_i = max(range(pairs), key=lambda i: pair_eff[i])
     summary = {
+        "protocol": "concurrent-pairs-disjoint-interleaved-affinity",
         "n_frontier": n_frontier,
         "pairs": pairs,
         "cores": {"N": lo, "4N": hi},
+        "cpu_affinity": {"N": cpu_sets[lo], "4N": cpu_sets[hi]},
         "pair_efficiency": [round(e, 3) for e in pair_eff],
         "median_efficiency": round(statistics.median(pair_eff), 3),
         "best_efficiency": round(pair_eff[best_i], 3),
@@ -131,7 +151,7 @@ if __name__ == "__main__":
     ap.add_argument("--cores", type=int, default=8)
     ap.add_argument("--data", default=None)
     ap.add_argument("--ctl", default=None)
-    ap.add_argument("--n-frontier", type=int, default=2_000_000)
+    ap.add_argument("--n-frontier", type=int, default=8_000_000)
     ap.add_argument("--pairs", type=int, default=8)
     args = ap.parse_args()
     if args.orchestrate:

@@ -42,6 +42,10 @@ def _session(cores: int, app: str):
         .appName(app)
         # identical plan at both parallelism levels — only core count differs
         .config("spark.sql.shuffle.partitions", "64")
+        # high-cardinality equi-joins (seen anti-join, fetch lookup) build
+        # bounded per-partition hash maps instead of sorting both sides
+        # every round — partitions are ~n/64 rows, well inside memory
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.adaptive.enabled", str(aqe).lower())
         .config("spark.sql.adaptive.coalescePartitions.enabled", str(aqe).lower())
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

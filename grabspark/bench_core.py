@@ -181,8 +181,13 @@ def run_frontier_round(
     store = spark.read.parquet(store_path) if store_path else None
 
     t0 = time.time()
-    cand = cand_raw.withColumn("url_canon", udfs.canon_ref_udf(F.col("url"))).withColumn(
-        "host", udfs.host_of_udf(F.col("url"))
+    # ONE Arrow pass parses canon + host + fetch_key together (the regex
+    # dominates Python-side cost; three separate UDFs would parse 3x).
+    # PythonUDF is non-cheap so CollapseProject keeps a single evaluation.
+    cand = (
+        cand_raw.withColumn("_p", udfs.url_parts_udf(F.col("url")))
+        .select("*", "_p.url_canon", "_p.host", "_p.fetch_key")
+        .drop("_p")
     )
     cand = dedupe_first_occurrence(cand)
     _dbg("dedupe", cand)
@@ -202,35 +207,50 @@ def run_frontier_round(
         )
     else:
         survivors = cand.join(seen, ["seed_idx", "url_canon"], "left_anti")
+    survivors = survivors.persist()
     _dbg("survivors", survivors)
 
-    # W1: salted two-phase top-k per host; phase 1 bounds every window
-    # partition to <= budget rows, so the hot host costs salt_buckets
-    # parallel sorts instead of one giant one
+    # W1: the budget only binds on hosts with more than ``host_budget``
+    # rows — everything else bypasses the window entirely (no sort, no
+    # skewed straggler task).  Heavy hosts (the 30% hot host) go through
+    # the salted two-phase top-k: phase 1 bounds every window partition
+    # to <= budget rows, so the hot host costs salt_buckets parallel
+    # sorts plus one merge of salt_buckets*budget rows instead of one
+    # giant serial sort.
+    heavy_hosts = (
+        survivors.groupBy("host")
+        .agg(F.count(F.lit(1)).alias("_hn"))
+        .filter(F.col("_hn") > host_budget)
+        .select("host")
+    )
+    light = survivors.join(F.broadcast(heavy_hosts), "host", "left_anti")
+    heavy = survivors.join(F.broadcast(heavy_hosts), "host", "left_semi")
     salt = F.pmod(F.xxhash64("url_canon"), F.lit(salt_buckets))
     w1 = Window.partitionBy("host", "_salt").orderBy("parent_seq", "link_idx")
     phase1 = (
-        survivors.withColumn("_salt", salt)
+        heavy.withColumn("_salt", salt)
         .withColumn("_rk1", F.row_number().over(w1))
         .filter(F.col("_rk1") <= host_budget)
     )
     w2 = Window.partitionBy("host").orderBy("parent_seq", "link_idx")
-    sched = (
+    ranked = (
         phase1.withColumn("_rk2", F.row_number().over(w2))
         .filter(F.col("_rk2") <= host_budget)
         .drop("_salt", "_rk1", "_rk2")
     )
+    sched = light.unionByName(ranked)
     _dbg("budget-rank", sched)
     if store is not None:
         sched = sched.join(
             store.select("image_id", "fmt", "phash"),
-            udfs.fetch_key_udf(F.col("url")) == F.col("image_id"),
+            F.col("fetch_key") == F.col("image_id"),
             "left",
         )
     n_sched = sched.count()
     elapsed = time.time() - t0
     if tagged is not None:
         tagged.unpersist()
+    survivors.unpersist()
 
     return FrontierBenchResult(
         n_frontier=n_frontier,

@@ -15,6 +15,13 @@ class BloomConfig:
     n_bits: int = 1 << 20
     n_hashes: int = 7
     n_shards: int = 16  # shard the bit-space; per-shard arrays merge cheaply
+    # "broadcast": whole filter broadcast, membership map-side (right while
+    # the filter fits an executor, <~1 GB).  "partitioned": per-shard files
+    # co-partitioned with the key space — build, merge, and probe all run
+    # executor-side on single shards; the scale mode for 10^10 keys where
+    # the filter is ~12 GB and must never sit on one node (bloom.py
+    # PartitionedBloom).
+    mode: str = "broadcast"
 
 
 @dataclass
@@ -30,6 +37,7 @@ class EngineConfig:
     robots_path: str | None = None  # parquet of (host, rule_prefix, allow, crawl_delay)
     bloom: BloomConfig = field(default_factory=BloomConfig)
     salt_buckets: int = 8  # host-hash salt fan-out for hot-host windows
+    host_buckets: int = 16  # storage host-hash buckets for the trace table (D5)
     seq_window_threshold: int = 200_000  # above this, distributed seq assignment
     seq_partitions: int = 32
     broadcast_store: bool = False  # hint the store side of the fetch join

@@ -72,17 +72,31 @@ class CrawlEngine:
         self.seen = SnapshotTable(spark, os.path.join(rd, "seen"), SEEN_SCHEMA)
         from .fetch import TRACE_SCHEMA
 
-        self.trace = SnapshotTable(spark, os.path.join(rd, "trace"), TRACE_SCHEMA)
+        self.trace = SnapshotTable(
+            spark, os.path.join(rd, "trace"), TRACE_SCHEMA, partition_col="host_bucket"
+        )
         self.metrics = SnapshotTable(spark, os.path.join(rd, "metrics"), METRICS_SCHEMA)
         self.store = spark.read.parquet(cfg.store_path)
         self.rules = (
             spark.read.parquet(cfg.robots_path) if cfg.robots_path else None
         )
-        self.bloom: ShardedBloom | None = (
-            ShardedBloom(cfg.bloom.n_bits, cfg.bloom.n_hashes, cfg.bloom.n_shards)
-            if cfg.bloom.enabled
-            else None
-        )
+        self.bloom: ShardedBloom | None = None
+        self.pbloom = None  # PartitionedBloom (mode == "partitioned")
+        if cfg.bloom.enabled:
+            if cfg.bloom.mode == "partitioned":
+                from .bloom import PartitionedBloom
+
+                self.pbloom = PartitionedBloom(
+                    os.path.join(rd, "bloomp"),
+                    cfg.bloom.n_bits,
+                    cfg.bloom.n_hashes,
+                    cfg.bloom.n_shards,
+                )
+            else:
+                self.bloom = ShardedBloom(
+                    cfg.bloom.n_bits, cfg.bloom.n_hashes, cfg.bloom.n_shards
+                )
+        self._bloom_bc = None  # previous round's broadcast (destroyed on reuse)
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -100,6 +114,8 @@ class CrawlEngine:
         self.metrics.overwrite(self.spark.createDataFrame([], METRICS_SCHEMA))
         if self.bloom is not None:
             self.bloom.save(self._bloom_dir(0))
+        if self.pbloom is not None:
+            self.pbloom.create()
         self.frontier.overwrite(
             seeds_df,
             meta={
@@ -123,6 +139,8 @@ class CrawlEngine:
                 table.rollback(meta[key])
         if self.bloom is not None:
             self.bloom = ShardedBloom.load(self._bloom_dir(meta["bloom_v"]))
+        if self.pbloom is not None:
+            self.pbloom.rollback(int(meta["bloom_v"]))
         return self.run()
 
     def run(self) -> CrawlSummary:
@@ -147,13 +165,30 @@ class CrawlEngine:
     def _bloom_dir(self, v: int) -> str:
         return os.path.join(self.cfg.run_dir, "bloom", f"v{v}")
 
+    @staticmethod
+    def _bloom_key():
+        return F.concat_ws("\x1f", F.col("seed_idx").cast("string"), F.col("url_canon"))
+
     def _bloom_might_contain(self, df: DataFrame) -> DataFrame:
-        """Adds ``_maybe_seen`` via a broadcast Bloom membership UDF."""
+        """Adds ``_maybe_seen``: broadcast membership UDF, or the
+        shard-co-partitioned probe in partitioned mode.  The previous
+        round's broadcast is destroyed before a new one is created
+        (no broadcast accretion over a long crawl)."""
+        if self._bloom_bc is not None:
+            self._bloom_bc.destroy()
+            self._bloom_bc = None
+        if self.pbloom is not None:
+            from .bloom import partitioned_prefilter
+
+            out = partitioned_prefilter(
+                df, self._bloom_key(), self.pbloom, self.spark, out_col="_maybe_seen"
+            )
+            return out
         from .bloom import make_might_contain
 
         might = make_might_contain(self.spark, self.bloom)
-        key = F.concat_ws("\x1f", F.col("seed_idx").cast("string"), F.col("url_canon"))
-        return df.withColumn("_maybe_seen", might(key))
+        self._bloom_bc = might._bc if hasattr(might, "_bc") else None
+        return df.withColumn("_maybe_seen", might(self._bloom_key()))
 
     def _round(self, rnd: int, meta: dict) -> None:
         cfg = self.cfg
@@ -163,7 +198,7 @@ class CrawlEngine:
 
         # J2 Bloom prefilter: definitely-new rows skip the exact anti-join
         tagged = None
-        if self.bloom is not None and rnd > 0:
+        if (self.bloom is not None or self.pbloom is not None) and rnd > 0:
             # persist: the split's two branches must not recompute the
             # dedupe/bloom chain twice
             tagged = self._bloom_might_contain(cand).persist()
@@ -192,6 +227,7 @@ class CrawlEngine:
 
         seq_bases = {int(k): int(v) for k, v in meta.get("seq", {}).items()}
         trace_v, seen_v, metrics_v = meta["trace_v"], meta["seen_v"], meta["metrics_v"]
+        bloom_v_new = meta["bloom_v"]
         new_seq = dict(meta.get("seq", {}))
         counters: dict[str, float] = {"frontier_in": self.frontier.row_count(), "scheduled": n_sched}
 
@@ -199,7 +235,9 @@ class CrawlEngine:
             sched = seq_mod.assign_fetch_seq(
                 sched_pre, seq_bases, n_sched, cfg.seq_window_threshold, cfg.seq_partitions
             )
-            traced = fetch_and_validate(sched, self.store, cfg.broadcast_store)
+            traced = fetch_and_validate(
+                sched, self.store, cfg.broadcast_store, cfg.host_buckets
+            )
             trace_v = self.trace.append(traced, meta={"round": rnd})
             batch = self.trace.read_delta(trace_v)
 
@@ -212,11 +250,8 @@ class CrawlEngine:
             seen_v = self.seen.append(newseen)
 
             if self.bloom is not None:
-                key = F.concat_ws(
-                    "\x1f", F.col("seed_idx").cast("string"), F.col("url_canon")
-                )
                 partials = build_partials(
-                    batch.withColumn("_bk", key),
+                    batch.withColumn("_bk", self._bloom_key()),
                     "_bk",
                     self.bloom.n_bits,
                     self.bloom.n_hashes,
@@ -224,6 +259,12 @@ class CrawlEngine:
                 ).collect()
                 merge_partials_into(self.bloom, partials)
                 self.bloom.save(self._bloom_dir(rnd + 1))
+                bloom_v_new = rnd + 1
+            elif self.pbloom is not None:
+                # executor-side shard merge; driver commits metadata only
+                bloom_v_new = self.pbloom.update(
+                    batch.withColumn("_bk", self._bloom_key()), "_bk"
+                )
 
             seen_all = self.seen.read(seen_v).select("seed_idx", "url_canon")
             links = links_to_frontier(batch, seen_all, rnd + 1)
@@ -271,7 +312,7 @@ class CrawlEngine:
                 "seen_v": seen_v,
                 "trace_v": trace_v,
                 "metrics_v": metrics_v,
-                "bloom_v": (rnd + 1) if (self.bloom is not None and n_sched > 0) else meta["bloom_v"],
+                "bloom_v": bloom_v_new,
             },
         )
         sched_pre.unpersist()

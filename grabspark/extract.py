@@ -57,12 +57,14 @@ def links_to_frontier(trace_batch: DataFrame, seen: DataFrame, next_round: int) 
         .filter(F.col("url").isNotNull())
     )
     filtered = (
-        exploded.withColumn("_link_host", udfs.host_of_udf(F.col("url")))
+        # one Arrow pass yields link host + canon together (the regex
+        # parse dominates; twice-parsing doubled the Python cost)
+        exploded.withColumn("_p", udfs.url_parts_udf(F.col("url")))
         # P4 [REF-EXACT]: exact, case-sensitive host equality; null link
         # host (unparsable) never matches
-        .filter(F.col("_link_host") == F.col("host"))
-        .drop("_link_host")
-        .withColumn("url_canon", udfs.canon_ref_udf(F.col("url")))
+        .filter(F.col("_p.host") == F.col("host"))
+        .withColumn("url_canon", F.col("_p.url_canon"))
+        .drop("_p")
         .withColumn("birth_round", F.lit(next_round).cast("int"))
         .withColumn("link_idx", F.col("link_idx").cast("int"))
     )
@@ -78,14 +80,12 @@ def dedupe_first_occurrence(frontier: DataFrame) -> DataFrame:
     in FIFO order (min (parent_seq, link_idx)) wins — matches the pop-time
     visited check keeping only the first pop of a canon
     (main_functions.go:45-51)."""
+    other = [c for c in frontier.columns if c not in ("seed_idx", "url_canon")]
     return (
         frontier.groupBy("seed_idx", "url_canon")
         .agg(
-            F.min_by(
-                F.struct(*[c for c in FRONTIER_COLS if c not in ("seed_idx", "url_canon")]),
-                F.struct("parent_seq", "link_idx"),
-            ).alias("_r")
+            F.min_by(F.struct(*other), F.struct("parent_seq", "link_idx")).alias("_r")
         )
         .select("seed_idx", "url_canon", "_r.*")
-        .select(*FRONTIER_COLS)
+        .select(*frontier.columns)
     )

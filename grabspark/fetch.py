@@ -52,6 +52,9 @@ TRACE_SCHEMA = StructType(
         StructField("url", StringType()),
         StructField("url_canon", StringType()),
         StructField("host", StringType()),
+        # storage partition key (SURVEY D5/§4.3): trace/fetched files are
+        # bucketed by host-hash so per-host reads prune at the manifest
+        StructField("host_bucket", LongType()),
         StructField("parent_seq", LongType()),
         StructField("link_idx", IntegerType()),
         StructField("ok", BooleanType()),
@@ -71,7 +74,7 @@ TRACE_SCHEMA = StructType(
 
 
 def fetch_and_validate(
-    sched: DataFrame, store: DataFrame, broadcast_store: bool = False
+    sched: DataFrame, store: DataFrame, broadcast_store: bool = False, host_buckets: int = 16
 ) -> DataFrame:
     """Scheduled round -> trace rows (TRACE_SCHEMA)."""
     right = store.select("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
@@ -79,6 +82,7 @@ def fetch_and_validate(
         right = F.broadcast(right)
     j = (
         sched.select(*SCHED_COLS)
+        .withColumn("host_bucket", F.pmod(F.xxhash64("host"), F.lit(host_buckets)))
         .withColumn("_fk", udfs.fetch_key_udf(F.col("url")))
         .join(right, F.col("_fk") == F.col("image_id"), "left")
         .drop("_fk")

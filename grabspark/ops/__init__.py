@@ -14,18 +14,20 @@ surrogates) or rounded on both sides; LIMIT/top-k is only used with a
 total deterministic ordering.
 """
 
-from . import dedup, relational, similarity, textstats
+from . import dedup, relational, similarity, table_ops, textstats
+
+_MODULES = (relational, dedup, similarity, textstats, table_ops)
 
 
 def all_queries():
     out = {}
-    for m in (relational, dedup, similarity, textstats):
+    for m in _MODULES:
         out.update(m.QUERIES)
     return out
 
 
 def all_oracles():
     out = {}
-    for m in (relational, dedup, similarity, textstats):
+    for m in _MODULES:
         out.update(m.ORACLES)
     return out

@@ -49,14 +49,22 @@ GROUP BY md5(text)
 
 
 def _shingles_df(spark: SparkSession, sf: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc (posexplode over positions)."""
+    """Distinct word n-gram shingles per doc (posexplode over positions).
+
+    Docs shorter than ``n`` tokens emit no shingles (guarded: a bare
+    ``sequence(1, size-2)`` is DESCENDING [1,0] for short docs, which
+    under Spark 4 ANSI mode throws INVALID_ARRAY_INDEX on toks[i+1];
+    DuckDB's generate_series(1,0) is empty, so the guard also keeps the
+    engines in agreement on empty/short documents)."""
     d = T(spark, sf, "documents").select("doc_id", F.expr(_TOKENS).alias("toks"))
     sh = d.select(
         "doc_id",
         F.explode(
             F.expr(
-                f"transform(sequence(1, greatest(size(toks) - {n - 1}, 0)), "
-                f"i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"
+                f"CASE WHEN size(toks) >= {n} THEN "
+                f"transform(sequence(1, size(toks) - {n - 1}), "
+                f"i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])) "
+                f"ELSE CAST(array() AS ARRAY<STRING>) END"
             )
         ).alias("shingle"),
     )
@@ -71,11 +79,52 @@ _SHINGLES_DUCK = """
 """.format(toks=_TOKENS_DUCK)
 
 
+# document-frequency stop-list: a shingle shared by more than MAX_DF docs
+# (boilerplate at corpus scale) is dropped BEFORE the inverted-index
+# self-join — without it one hot shingle makes the posting-list join
+# quadratic (df^2 pairs).  Jaccard is then defined over the non-boilerplate
+# shingle sets in BOTH engines, so the oracle stays exact.
+_MAX_DF = 100
+
+
+def ngram_hot_shingles(spark: SparkSession, sf: str) -> DataFrame:
+    """The audit/log side of the stop-list: shingles dropped by the
+    document-frequency guard and how many postings each removes.  At
+    production scale this is the 'logged what was dropped' record; here
+    it is a graded query with its own DuckDB oracle."""
+    sh = _shingles_df(spark, sf)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > _MAX_DF)
+        .select("shingle", "df")
+    )
+
+
+_HOT_SHINGLES_SQL = f"""
+WITH sh AS ({_SHINGLES_DUCK})
+SELECT shingle, count(*) AS df FROM sh GROUP BY shingle HAVING count(*) > {_MAX_DF}
+"""
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup pairs by 3-token-shingle Jaccard: inverted-index self-join
     on shingle, integer threshold 20*inter >= 1*union (J >= 0.05).
-    Output: (doc_a, doc_b, inter, union_size) with doc_a < doc_b."""
-    sh = _shingles_df(spark, sf).persist()
+    Shingles with document frequency > _MAX_DF are stop-listed before the
+    join (hot-shingle quadratic-blowup guard; see ngram_hot_shingles for
+    the audit query).  Output: (doc_a, doc_b, inter, union_size) with
+    doc_a < doc_b."""
+    sh_all = _shingles_df(spark, sf)
+    ok = (
+        sh_all.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= _MAX_DF)
+        .select("shingle")
+    )
+    # left-semi on the same key as the upcoming self-join: Catalyst keeps
+    # the shingle partitioning, so the guard costs one extra agg, not an
+    # extra repartition of the postings
+    sh = sh_all.join(ok, "shingle", "left_semi").persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -97,7 +146,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _JACCARD_SQL = f"""
-WITH sh AS ({_SHINGLES_DUCK}),
+WITH sh_all AS ({_SHINGLES_DUCK}),
+ok AS (SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) <= {_MAX_DF}),
+sh AS (SELECT sh_all.doc_id, sh_all.shingle FROM sh_all JOIN ok USING (shingle)),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
@@ -263,6 +314,7 @@ FROM agg
 
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "ngram_hot_shingles": ngram_hot_shingles,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "minhash_signatures": minhash_signatures,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -271,6 +323,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": _EXACT_SQL,
+    "ngram_hot_shingles": _HOT_SHINGLES_SQL,
     "dedup_ngram_jaccard": _JACCARD_SQL,
     "minhash_signatures": _MINSIG_SQL,
     "dedup_minhash_lsh": _MINHASH_SQL,

@@ -12,7 +12,6 @@ inline (broadcast hints for dimension joins, single-shuffle aggs).
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -124,13 +123,18 @@ def bloom_prefilter_antijoin(spark: SparkSession, sf: str) -> DataFrame:
     Bloom prefilter — proves the filter is advisory (no lost/extra rows).
     Definitely-new rows skip the exact anti-join; maybe-seen rows flow
     through it."""
-    from ..bloom import ShardedBloom, make_might_contain
+    from ..bloom import ShardedBloom, build_partials, make_might_contain, merge_partials_into
 
     c = T(spark, sf, "customer")
     o = T(spark, sf, "orders")
-    keys = [r[0] for r in o.select("o_custkey").distinct().collect()]
+    # distributed build: executors emit per-shard partial bitmaps, the
+    # driver ORs fixed-size bitmaps — no data rows are ever collected
     bl = ShardedBloom(n_bits=1 << 17, n_hashes=7, n_shards=8)
-    bl.add(pd.Series([str(k) for k in keys]))
+    partials = build_partials(
+        o.select(F.col("o_custkey").cast("string").alias("_bk")),
+        "_bk", bl.n_bits, bl.n_hashes, bl.n_shards,
+    ).collect()
+    merge_partials_into(bl, partials)
     might = make_might_contain(spark, bl)
     tagged = c.withColumn("_maybe", might(F.col("c_custkey").cast("string")))
     sure_new = tagged.filter(~F.col("_maybe")).drop("_maybe")

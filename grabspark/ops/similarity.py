@@ -74,9 +74,12 @@ FROM embeddings
 
 def knn_per_label(spark: SparkSession, sf: str) -> DataFrame:
     """For each label, the most-central vector (max summed cosine to its
-    own label group) — a grouped similarity aggregation exercising the
-    pairwise join within buckets (the IVF-style scale pattern: pairs
-    confined to a partition/label bucket, never the full cross join)."""
+    own label group) — the EXACT all-pairs form, kept as the small-scale
+    oracle for the O(n)-per-label centroid path below (which is the shape
+    to run at 100 TB; this one is O(n²) per label).  The per-vector sum
+    reduces in ascending vec_id_b order (array_sort + sequential
+    aggregate), so Spark and DuckDB produce bit-identical doubles before
+    rounding — the winner can never flip on partial-agg order."""
     e = T(spark, sf, "embeddings").select(
         "vec_id", "label", F.col("embedding").alias("a")
     )
@@ -87,9 +90,16 @@ def knn_per_label(spark: SparkSession, sf: str) -> DataFrame:
     sims = pairs.select(
         "label",
         "vec_id",
+        "vec_id_b",
         F.expr(f"{_DOT} / ({_NORM.format(c='a')} * {_NORM.format(c='b')})").alias("s"),
     )
-    per_vec = sims.groupBy("label", "vec_id").agg(F.round(F.sum("s"), 4).alias("total_sim"))
+    ordered_sum = (
+        "aggregate(array_sort(collect_list(struct(vec_id_b, s))), "
+        "CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.s)"
+    )
+    per_vec = sims.groupBy("label", "vec_id").agg(
+        F.round(F.expr(ordered_sum), 4).alias("total_sim")
+    )
     w = Window.partitionBy("label").orderBy(F.desc("total_sim"), F.asc("vec_id"))
     return (
         per_vec.withColumn("rk", F.row_number().over(w))
@@ -101,13 +111,13 @@ def knn_per_label(spark: SparkSession, sf: str) -> DataFrame:
 _KNN_SQL = """
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
 sims AS (
-  SELECT a.label, a.vec_id,
+  SELECT a.label, a.vec_id, b.vec_id AS vec_id_b,
          list_dot_product(a.v, b.v)
            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS s
   FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
 ),
 per_vec AS (
-  SELECT label, vec_id, round(sum(s), 4) AS total_sim
+  SELECT label, vec_id, round(list_sum(list(s ORDER BY vec_id_b)), 4) AS total_sim
   FROM sims GROUP BY label, vec_id
 )
 SELECT label, vec_id AS central_vec_id, total_sim FROM (
@@ -118,14 +128,85 @@ SELECT label, vec_id AS central_vec_id, total_sim FROM (
 """
 
 
-def lsh_bucket_sign(spark: SparkSession, sf: str) -> DataFrame:
-    """Random-hyperplane LSH bucket id (8 bits) per vector.  Plane p's
-    j-th coefficient sign is bit (j of md5(p)) — deterministic and
-    SQL-reproducible; bucket = concat of sign(dot(v, plane)).  The scale
-    path groups ANN candidates by bucket instead of cross-joining."""
+def knn_centroid_per_label(spark: SparkSession, sf: str) -> DataFrame:
+    """The 100 TB scale path for per-label centrality: O(n) per label
+    instead of all-pairs O(n²).  Identity: for unit vectors,
+    sum_{u != v} cos(v, u) = dot(v̂, Σ_label û) − dot(v̂, v̂) — so one
+    component-wise sum per label (a single shuffle on (label, j)) replaces
+    the quadratic self-join.  All float reductions run in a fixed order
+    (vec_id then component index) so the DuckDB oracle matches bitwise."""
     e = T(spark, sf, "embeddings")
+    norm = e.select(
+        "vec_id",
+        "label",
+        F.expr(
+            f"transform(embedding, x -> CAST(x AS DOUBLE) / {_NORM.format(c='embedding')})"
+        ).alias("vhat"),
+    )
+    comps = norm.select("vec_id", "label", F.posexplode("vhat").alias("j", "x"))
+    ordered_sum = (
+        "aggregate(array_sort(collect_list(struct(vec_id, x))), "
+        "CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.x)"
+    )
+    persum = comps.groupBy("label", "j").agg(F.expr(ordered_sum).alias("s"))
+    centroid = persum.groupBy("label").agg(
+        F.expr("transform(array_sort(collect_list(struct(j, s))), p -> p.s)").alias("S")
+    )
+    dot_vs = (
+        "aggregate(zip_with(vhat, S, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    dot_vv = (
+        "aggregate(transform(vhat, x -> x * x), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    scored = norm.join(centroid, "label").select(
+        "label", "vec_id", F.round(F.expr(f"{dot_vs} - {dot_vv}"), 4).alias("total_sim")
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("total_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("label", F.col("vec_id").alias("central_vec_id"), "total_sim")
+    )
+
+
+_KNN_CENTROID_SQL = """
+WITH norm AS (
+  SELECT vec_id, label,
+         list_transform(embedding::DOUBLE[],
+                        x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS vhat
+  FROM embeddings
+),
+comps AS (
+  SELECT vec_id, label, j, vhat[j] AS x
+  FROM norm, LATERAL (SELECT unnest(generate_series(1, len(vhat))) AS j) g
+),
+persum AS (
+  SELECT label, j, list_sum(list(x ORDER BY vec_id)) AS s
+  FROM comps GROUP BY label, j
+),
+centroid AS (
+  SELECT label, list(s ORDER BY j) AS S FROM persum GROUP BY label
+),
+scored AS (
+  SELECT n.label, n.vec_id,
+         round(list_dot_product(n.vhat, c.S) - list_dot_product(n.vhat, n.vhat), 4) AS total_sim
+  FROM norm n JOIN centroid c ON n.label = c.label
+)
+SELECT label, vec_id AS central_vec_id, total_sim FROM (
+  SELECT label, vec_id, total_sim,
+         row_number() OVER (PARTITION BY label ORDER BY total_sim DESC, vec_id ASC) AS rk
+  FROM scored
+) WHERE rk = 1
+"""
+
+
+_N_PLANES = 8
+
+
+def _bucket_spark_expr() -> str:
+    """8-bit random-hyperplane bucket id as a Spark SQL expression."""
     bits = []
-    for p in range(8):
+    for p in range(_N_PLANES):
         # coefficient j in {+1,-1} from md5 nibble parity of (plane, j)
         coef = (
             f"transform(sequence(0, size(embedding) - 1), "
@@ -137,13 +218,12 @@ def lsh_bucket_sign(spark: SparkSession, sf: str) -> DataFrame:
             f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
         )
         bits.append(f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END")
-    bucket = "concat(" + ", ".join(bits) + ")"
-    return e.select("vec_id", F.expr(bucket).alias("bucket"))
+    return "concat(" + ", ".join(bits) + ")"
 
 
-def _lsh_sql() -> str:
+def _bucket_duck_expr() -> str:
     parts = []
-    for p in range(8):
+    for p in range(_N_PLANES):
         coef = (
             f"list_transform(generate_series(0, len(embedding) - 1), "
             f"j -> CASE WHEN substring(md5('plane{p}|' || CAST(j AS VARCHAR)), 1, 1) "
@@ -151,19 +231,100 @@ def _lsh_sql() -> str:
         )
         dot = f"list_dot_product(embedding::DOUBLE[], {coef})"
         parts.append(f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END")
-    return "SELECT vec_id, concat(" + ", ".join(parts) + ") AS bucket FROM embeddings"
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def lsh_bucket_sign(spark: SparkSession, sf: str) -> DataFrame:
+    """Random-hyperplane LSH bucket id (8 bits) per vector.  Plane p's
+    j-th coefficient sign is bit (j of md5(p)) — deterministic and
+    SQL-reproducible; bucket = concat of sign(dot(v, plane)).
+    ann_lsh_topk below runs the end-to-end bucketed query."""
+    e = T(spark, sf, "embeddings")
+    return e.select("vec_id", F.expr(_bucket_spark_expr()).alias("bucket"))
+
+
+def _lsh_sql() -> str:
+    return f"SELECT vec_id, {_bucket_duck_expr()} AS bucket FROM embeddings"
+
+
+# multi-probe: the query's own bucket plus every 1-bit flip (hamming<=1,
+# N_PLANES+1 probe buckets).  i=0 keeps the bucket; i>=1 flips char i.
+_PROBES_LAMBDA = (
+    f"transform(sequence(0, {_N_PLANES}), i -> CASE WHEN i = 0 THEN qb "
+    f"ELSE concat(substring(qb, 1, i - 1), "
+    f"CASE WHEN substring(qb, i, 1) = '1' THEN '0' ELSE '1' END, "
+    f"substring(qb, i + 1, {_N_PLANES} - i)) END)"
+)
+
+
+def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end bucketed ANN (the 100 TB scale path): compute the
+    query's probe buckets (own bucket + all hamming-1 neighbours), join
+    candidates ON BUCKET EQUALITY (broadcast of the tiny probe list — at
+    scale this prunes a bucket-partitioned store instead of scanning),
+    then exact cosine and top-10 over the candidates only.  The
+    brute-force ann_cosine_topk is its recall oracle in pytest; the
+    DuckDB oracle here replays the identical bucketed computation."""
+    e = T(spark, sf, "embeddings")
+    eb = e.select("vec_id", "embedding", F.expr(_bucket_spark_expr()).alias("bucket"))
+    q = eb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("b"), F.col("bucket").alias("qb")
+    )
+    probes = q.select("b", F.explode(F.expr(_PROBES_LAMBDA)).alias("bucket"))
+    cand = (
+        eb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probes), "bucket")
+        .select("vec_id", F.col("embedding").alias("a"), "b")
+    )
+    scored = cand.select(
+        "vec_id",
+        F.expr(f"round({_DOT} / ({_NORM.format(c='a')} * {_NORM.format(c='b')}), 6)").alias(
+            "cos_sim"
+        ),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(10)
+
+
+_ANN_LSH_SQL = f"""
+WITH eb AS (SELECT vec_id, embedding, {_bucket_duck_expr()} AS bucket FROM embeddings),
+q AS (SELECT embedding::DOUBLE[] AS b, bucket AS qb FROM eb WHERE vec_id = 0),
+probes AS (
+  SELECT q.b,
+         CASE WHEN i = 0 THEN qb
+              ELSE substring(qb, 1, i - 1)
+                   || (CASE WHEN substring(qb, i, 1) = '1' THEN '0' ELSE '1' END)
+                   || substring(qb, i + 1, {_N_PLANES} - i) END AS bucket
+  FROM q, (SELECT unnest(generate_series(0, {_N_PLANES})) AS i) g
+),
+cand AS (
+  SELECT eb.vec_id, eb.embedding, p.b
+  FROM eb JOIN probes p USING (bucket) WHERE eb.vec_id <> 0
+),
+scored AS (
+  SELECT vec_id,
+         round(list_dot_product(embedding::DOUBLE[], b)
+               / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(b, b))), 6) AS cos_sim
+  FROM cand
+)
+SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
 
 
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_norms": embedding_norms,
     "knn_per_label": knn_per_label,
+    "knn_centroid_per_label": knn_centroid_per_label,
     "lsh_bucket_sign": lsh_bucket_sign,
+    "ann_lsh_topk": ann_lsh_topk,
 }
 
 ORACLES = {
     "ann_cosine_topk": _TOPK_SQL,
     "embedding_norms": _NORMS_SQL,
     "knn_per_label": _KNN_SQL,
+    "knn_centroid_per_label": _KNN_CENTROID_SQL,
     "lsh_bucket_sign": _lsh_sql(),
+    "ann_lsh_topk": _ANN_LSH_SQL,
 }

@@ -37,11 +37,22 @@ def package_zip(dest_dir: str | None = None) -> str:
 
 
 def attach_package(spark: SparkSession) -> None:
-    """Idempotently ship this package to executors."""
+    """Idempotently ship this package to executors.
+
+    When the session was launched via ``spark-submit --py-files
+    grabspark.zip`` the package is already on every worker; re-adding a
+    freshly-built zip would fail if the source tree changed since submit
+    (Spark refuses same-name files with different contents), so detect
+    the shipped copy and no-op."""
     sc = spark.sparkContext
     if getattr(sc, _ATTACHED_ATTR, False):
         return
-    sc.addPyFile(package_zip())
+    try:
+        shipped = any(str(f).endswith("grabspark.zip") for f in sc.listFiles)
+    except Exception:
+        shipped = False
+    if not shipped:
+        sc.addPyFile(package_zip())
     setattr(sc, _ATTACHED_ATTR, True)
 
 

@@ -25,14 +25,30 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
 class SnapshotTable:
-    def __init__(self, spark: SparkSession, path: str, schema: StructType | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        schema: StructType | None = None,
+        partition_col: str | None = None,
+    ):
+        """``partition_col`` names an existing (integer-ish) column to
+        bucket data files by — e.g. the engine's salted host-hash bucket
+        (SURVEY D5/§4.3).  Files are laid out under ``_pb=<v>`` dirs and
+        the manifest records each file's bucket, so per-bucket reads are
+        pruned at the METADATA level (the Iceberg manifest-pruning
+        pattern) — no directory listing, no full scan.  The column stays
+        in the data files (the hive-style dir key is a shadow copy), so
+        direct file reads keep the full schema."""
         self.spark = spark
         self.path = path
         self._schema = schema
+        self.partition_col = partition_col
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
         os.makedirs(os.path.join(path, "snapshots"), exist_ok=True)
 
@@ -70,6 +86,7 @@ class SnapshotTable:
         meta: dict,
         parent: int | None,
         added: list[str] | None = None,
+        parts: dict | None = None,
     ) -> int:
         v = 0 if parent is None else parent + 1
         manifest = {
@@ -79,6 +96,9 @@ class SnapshotTable:
             "added": added if added is not None else files,
             "rows": rows,
             "meta": meta,
+            # per-file partition value (bucket) — the manifest-level
+            # pruning index for read(bucket=...)
+            "parts": parts or {},
             "schema": json.loads(self._schema.json()) if self._schema else None,
         }
         mpath = os.path.join(self.path, "snapshots", f"v{v}.json")
@@ -92,18 +112,41 @@ class SnapshotTable:
 
     # -- writes --------------------------------------------------------------
 
-    def _write_batch(self, df: DataFrame) -> tuple[list[str], int]:
+    def _write_batch(self, df: DataFrame) -> tuple[list[str], int, dict]:
         batch_dir = os.path.join(self.path, "data", f"batch-{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(batch_dir)
-        files = sorted(
-            os.path.join(batch_dir, f)
-            for f in os.listdir(batch_dir)
-            if f.endswith(".parquet")
-        )
+        parts: dict[str, int] = {}
+        if self.partition_col is not None and self.partition_col in df.columns:
+            # shadow copy so the real column stays in the data files
+            (
+                df.withColumn("_pb", F.col(self.partition_col))
+                .write.mode("overwrite")
+                .partitionBy("_pb")
+                .parquet(batch_dir)
+            )
+            files = []
+            for root, _dirs, fnames in os.walk(batch_dir):
+                for f in fnames:
+                    if f.endswith(".parquet"):
+                        p = os.path.join(root, f)
+                        files.append(p)
+                        seg = [s for s in root.split(os.sep) if s.startswith("_pb=")]
+                        if seg:
+                            try:
+                                parts[p] = int(seg[-1].split("=", 1)[1])
+                            except ValueError:  # null bucket (hive default dir)
+                                pass
+            files = sorted(files)
+        else:
+            df.write.mode("overwrite").parquet(batch_dir)
+            files = sorted(
+                os.path.join(batch_dir, f)
+                for f in os.listdir(batch_dir)
+                if f.endswith(".parquet")
+            )
         if self._schema is None:
             self._schema = df.schema
         rows = self._count_parquet_rows(files)
-        return files, rows
+        return files, rows, parts
 
     def _count_parquet_rows(self, files: list[str]) -> int:
         import pyarrow.parquet as pq
@@ -114,17 +157,19 @@ class SnapshotTable:
         """Append-only commit: new files + parent's files (O(new) IO)."""
         parent = self.current_version()
         prev = self.manifest(parent) if parent is not None else None
-        files, rows = self._write_batch(df)
+        files, rows, parts = self._write_batch(df)
         all_files = (prev["files"] if prev else []) + files
         all_rows = (prev["rows"] if prev else 0) + rows
+        all_parts = dict(prev.get("parts", {}) if prev else {})
+        all_parts.update(parts)
         m = dict(prev["meta"] if prev else {})
         m.update(meta or {})
-        return self._commit(all_files, all_rows, m, parent, added=files)
+        return self._commit(all_files, all_rows, m, parent, added=files, parts=all_parts)
 
     def overwrite(self, df: DataFrame, meta: dict | None = None) -> int:
         parent = self.current_version()
-        files, rows = self._write_batch(df)
-        return self._commit(files, rows, meta or {}, parent)
+        files, rows, parts = self._write_batch(df)
+        return self._commit(files, rows, meta or {}, parent, parts=parts)
 
     def rollback(self, version: int) -> int:
         """Point CURRENT at ``version``'s state via a new commit (time
@@ -135,7 +180,9 @@ class SnapshotTable:
         m = self.manifest(version)
         if m is None:
             raise ValueError(f"no snapshot v{version} in {self.path}")
-        return self._commit(m["files"], m["rows"], m.get("meta", {}), parent, added=[])
+        return self._commit(
+            m["files"], m["rows"], m.get("meta", {}), parent, added=[], parts=m.get("parts", {})
+        )
 
     def commit_meta(self, meta: dict) -> int:
         """New snapshot with unchanged data, updated metadata."""
@@ -145,7 +192,64 @@ class SnapshotTable:
         rows = prev["rows"] if prev else 0
         m = dict(prev["meta"] if prev else {})
         m.update(meta)
-        return self._commit(files, rows, m, parent)
+        return self._commit(files, rows, m, parent, parts=prev.get("parts", {}) if prev else {})
+
+    # -- row-level ops (copy-on-write, Iceberg MERGE/DELETE-shaped) ----------
+
+    def upsert(self, updates: DataFrame, keys: list[str], meta: dict | None = None) -> int:
+        """MERGE: rows matching ``keys`` are replaced by ``updates``; new
+        keys are inserted (≙ the reference's ``UPDATE Users SET ... WHERE
+        id=?`` + insert path, /root/reference/database/mysql.go:57-65).
+
+        Copy-on-write: for a bucket-partitioned table, only files whose
+        bucket appears in the incoming batch are rewritten — untouched
+        buckets' files carry over verbatim (manifest-level pruning on
+        write, the Iceberg copy-on-write MERGE pattern)."""
+        parent = self.current_version()
+        prev = self.manifest(parent) if parent is not None else None
+        if prev is None or not prev["files"]:
+            return self.overwrite(updates, meta=meta)
+        parts = prev.get("parts", {})
+        keep_files: list[str] = []
+        rewrite_files: list[str] = []
+        if self.partition_col is not None and parts and self.partition_col in updates.columns:
+            touched = {
+                int(r[0])
+                for r in updates.select(self.partition_col).distinct().collect()
+            }
+            for f in prev["files"]:
+                (rewrite_files if parts.get(f) in touched else keep_files).append(f)
+        else:
+            rewrite_files = list(prev["files"])
+        old = (
+            self.spark.read.parquet(*rewrite_files)
+            if rewrite_files
+            else self.spark.createDataFrame([], self.schema())
+        )
+        keep_old = old.join(updates.select(*keys).distinct(), keys, "left_anti")
+        merged = keep_old.unionByName(updates.select(*[f.name for f in self.schema().fields]))
+        files, rows, new_parts = self._write_batch(merged)
+        all_files = keep_files + files
+        kept_rows = self._count_parquet_rows(keep_files)
+        all_parts = {f: parts[f] for f in keep_files if f in parts}
+        all_parts.update(new_parts)
+        m = dict(prev["meta"])
+        m.update(meta or {})
+        return self._commit(all_files, kept_rows + rows, m, parent, added=files, parts=all_parts)
+
+    def delete_where(self, condition, meta: dict | None = None) -> int:
+        """DELETE FROM ... WHERE condition (≙ the reference's token delete
+        and the hourly TTL event, /root/reference/database/mysql.go:83-91,
+        migration.sql:14-17).  Copy-on-write full rewrite of the kept
+        rows; condition is a Column or SQL string."""
+        parent = self.current_version()
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        kept = self.read().filter(~cond)
+        files, rows, parts = self._write_batch(kept)
+        prev = self.manifest(parent) if parent is not None else None
+        m = dict(prev["meta"] if prev else {})
+        m.update(meta or {})
+        return self._commit(files, rows, m, parent, parts=parts)
 
     # -- reads ---------------------------------------------------------------
 
@@ -157,7 +261,10 @@ class SnapshotTable:
             self._schema = StructType.fromJson(m["schema"])
         return self._schema
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(self, version: int | None = None, bucket: int | None = None) -> DataFrame:
+        """Read a snapshot; ``bucket`` prunes to that partition's files at
+        the MANIFEST level (no other file is opened or listed) — the
+        per-host read path for a host-bucketed table."""
         m = self.manifest(version)
         if m is None or not m["files"]:
             schema = self.schema()
@@ -166,7 +273,18 @@ class SnapshotTable:
             if schema is None:
                 raise ValueError(f"empty table with unknown schema: {self.path}")
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(*m["files"])
+        files = m["files"]
+        if bucket is not None:
+            parts = m.get("parts", {})
+            files = [f for f in files if parts.get(f) == bucket]
+            if not files:
+                return self.spark.createDataFrame([], self.schema())
+        return self.spark.read.parquet(*files)
+
+    def files_for_bucket(self, bucket: int, version: int | None = None) -> list[str]:
+        m = self.manifest(version) or {"files": [], "parts": {}}
+        parts = m.get("parts", {})
+        return [f for f in m["files"] if parts.get(f) == bucket]
 
     def read_delta(self, version: int) -> DataFrame:
         """Only the files added by commit ``version`` (one round's batch)."""

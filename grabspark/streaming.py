@@ -36,16 +36,22 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-TRACE_STREAM_SCHEMA = StructType(
-    [
-        StructField("seed_idx", IntegerType()),
-        StructField("fetch_seq", LongType()),
-        StructField("round", IntegerType()),
-        StructField("host", StringType()),
-        StructField("ok", StringType()),  # parquet bool read as-is; cast downstream
-        StructField("event_time", TimestampType()),
-    ]
-)
+def trace_stream_schema() -> StructType:
+    """Stream schema derived from the engine's real trace table
+    (fetch.TRACE_SCHEMA — so ``ok`` is BooleanType, matching the parquet
+    the engine writes), plus ``event_time``.  The trace table itself has
+    no event-time column (rounds are logical time); supply one when
+    streaming engine data, e.g. a per-batch ingestion timestamp column
+    written by the producer, or map ``round`` to a synthetic timestamp —
+    the tests derive it from ``ts`` fixtures the same way."""
+    from .fetch import TRACE_SCHEMA
+
+    keep = {"seed_idx", "fetch_seq", "round", "host", "ok"}
+    fields = [f for f in TRACE_SCHEMA.fields if f.name in keep]
+    return StructType(fields + [StructField("event_time", TimestampType())])
+
+
+TRACE_STREAM_SCHEMA = trace_stream_schema()
 
 
 def read_trace_stream(spark: SparkSession, trace_data_dir: str, schema: StructType) -> DataFrame:
@@ -114,11 +120,17 @@ RATE_OUT_SCHEMA = StructType(
 )
 
 
-def make_rate_monitor(budget_per_sec: float):
-    """Stateful per-host rate tracker (applyInPandasWithState kernel)."""
+def make_rate_monitor(budget_per_sec: float, state_ttl_ms: int = 600_000):
+    """Stateful per-host rate tracker (applyInPandasWithState kernel).
+    State carries a processing-time TTL: a host quiet for ``state_ttl_ms``
+    is evicted, so state is bounded by the active-host working set
+    instead of growing with every host ever fetched."""
 
     def fn(key, pdfs, state: GroupState):
         host = key[0]
+        if state.hasTimedOut:
+            state.remove()
+            return
         fetches, first_us, last_us = (
             state.get if state.exists else (0, None, None)
         )
@@ -129,6 +141,7 @@ def make_rate_monitor(budget_per_sec: float):
             first_us = lo if first_us is None else min(first_us, lo)
             last_us = hi if last_us is None else max(last_us, hi)
         state.update((fetches, first_us, last_us))
+        state.setTimeoutDuration(state_ttl_ms)
         span = max((last_us - first_us) / 1e6, 1e-6)
         rate = fetches / span if fetches > 1 else float(fetches)
         yield pd.DataFrame(
@@ -153,6 +166,6 @@ def host_rate_monitor(trace_stream: DataFrame, budget_per_sec: float) -> DataFra
             outputStructType=RATE_OUT_SCHEMA,
             stateStructType=RATE_STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )

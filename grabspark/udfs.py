@@ -27,6 +27,16 @@ from pyspark.sql.types import (
 from . import imaging, textkit, urlkit
 
 canon_ref_udf = F.pandas_udf(urlkit.canon_ref_s, StringType())
+url_parts_udf = F.pandas_udf(
+    urlkit.url_parts_s,
+    StructType(
+        [
+            StructField("url_canon", StringType()),
+            StructField("host", StringType()),
+            StructField("fetch_key", StringType()),
+        ]
+    ),
+)
 canon_full_udf = F.pandas_udf(urlkit.canon_full_s, StringType())
 fetch_key_udf = F.pandas_udf(urlkit.fetch_key_s, StringType())
 host_of_udf = F.pandas_udf(urlkit.host_of_s, StringType())

@@ -108,6 +108,27 @@ def canon_full(url: str) -> str:
     return f"{p.scheme.lower()}://{host}{p.path.rstrip('/')}{q}"
 
 
+def base_url(url: str) -> str:
+    """F6 getBaseURL (/root/reference/utils/file_utils.go:121-127):
+    ``scheme://host`` of the URL ('' when it does not parse)."""
+    p = parse_url(url)
+    if p is None:
+        return ""
+    return f"{p.scheme}://{hostname(p.auth)}"
+
+
+def sanitize_file_name(url: str) -> str:
+    """F7 sanitizeFileName (/root/reference/utils/file_utils.go:133-144):
+    the per-host store filename is the hostname, with the reference's
+    literal fallbacks — parse failure -> ``"invalid_url"``, empty
+    hostname -> ``"default"``."""
+    p = parse_url(url)
+    if p is None:
+        return "invalid_url"
+    h = hostname(p.auth)
+    return h if h else "default"
+
+
 def fetch_key(url: str) -> str:
     """Store-lookup key for a raw frontier URL: the browser requests the
     document ignoring the fragment, so fetch resolution = canon_ref minus
@@ -169,3 +190,20 @@ def host_of_s(s: pd.Series) -> pd.Series:
     skipped, functions/main_functions.go:141-144)."""
     valid, p = _extract(s)
     return _hostname_s(p["auth"]).where(valid, None)
+
+
+def url_parts_s(s: pd.Series) -> pd.DataFrame:
+    """One-pass combined parse: (url_canon, host, fetch_key) from a single
+    regex extraction.  The crawl hot path needs all three per URL —
+    parsing once instead of three times cuts the Python-side cost of the
+    scheduling round by ~3x (the regex dominates)."""
+    valid, p = _extract(s)
+    stripped = p["path"].str.rstrip("/")
+    base = p["scheme"] + "://" + p["auth"] + stripped + p["q"]
+    return pd.DataFrame(
+        {
+            "url_canon": (base + p["f"]).where(valid, s).astype("string"),
+            "host": _hostname_s(p["auth"]).where(valid, None).astype("string"),
+            "fetch_key": base.where(valid, s).astype("string"),
+        }
+    )

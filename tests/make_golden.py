@@ -1,0 +1,144 @@
+"""Materialize the independent oracle's golden results as parquet, so the
+driver's DuckDB gate can check the two formerly rows-only queries
+(crawl_bfs_trace, image_validation) value-for-value.
+
+The goldens are produced WITHOUT the Spark engine: the store + seed list
+come from the same pure-pandas builder the entry uses
+(__spark_entry__._store_from_fixtures), the crawl is tests/oracle.py (the
+line-by-line Go transliteration), and the image validation summary is
+recomputed directly with numpy over the store bytes.  ``oracle_sql`` then
+reads these files with DuckDB read_parquet — the engine's output must
+match them bit-for-bit.
+
+Usage:  python tests/make_golden.py [sf_dir ...]
+Defaults to /root/testdata/sf0.01 (the driver's correctness scale) and
+/root/testdata/sf0.001 (the entry smoke scale).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+GOLDEN_DIR = os.path.join(REPO, "tests", "golden")
+
+
+def golden_trace_path(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    return os.path.join(GOLDEN_DIR, f"crawl_bfs_trace_{tag}.parquet")
+
+
+def golden_imgval_path() -> str:
+    return os.path.join(GOLDEN_DIR, "image_validation.parquet")
+
+
+def build_trace_golden(sf_dir: str) -> pd.DataFrame:
+    import __spark_entry__ as entrymod
+    import tests.oracle as oracle
+    from grabspark import imaging
+
+    store, seeds = entrymod._store_from_fixtures(sf_dir)
+    res = oracle.crawl(store.by_id, seeds)
+    pages = {(s, q): (t, c) for (s, q, _u, t, c) in res.pages}
+    rows = []
+    for i, (seed_idx, seq, url, canon, host, ok) in enumerate(res.trace):
+        rnd = res.rounds[i]
+        title = content = fmt = None
+        w = h = None
+        pixels_ok = phash_ok = None
+        if ok:
+            title, content = pages[(seed_idx, seq)]
+            tgt = oracle.fetch_target(url)
+            srow = store.by_id[tgt]
+            fmt, w, h = srow.fmt, int(srow.w), int(srow.h)
+            dec = imaging.decode_image(srow.bytes, w, h, fmt)
+            ref = imaging.pixels_from_id(srow.image_id, w, h)
+            if fmt == "raw":
+                pixels_ok = bool(np.array_equal(ref, dec))
+            else:
+                pixels_ok = imaging.psnr(ref, dec) >= imaging.PSNR_LOSSY_MIN_DB
+            phash_ok = int(srow.phash) == imaging.phash64(dec)
+        rows.append(
+            (seed_idx, seq, rnd, url, canon, host, ok, title, content, fmt, w, h,
+             pixels_ok, phash_ok)
+        )
+    pdf = pd.DataFrame(
+        rows,
+        columns=[
+            "seed_idx", "fetch_seq", "round", "url", "url_canon", "host", "ok",
+            "title", "content", "fmt", "w", "h", "pixels_ok", "phash_ok",
+        ],
+    )
+    pdf["seed_idx"] = pdf["seed_idx"].astype("int32")
+    pdf["fetch_seq"] = pdf["fetch_seq"].astype("int64")
+    pdf["round"] = pdf["round"].astype("int32")
+    pdf["ok"] = pdf["ok"].astype("bool")
+    for c in ("w", "h"):
+        pdf[c] = pdf[c].astype("Int32")
+    for c in ("pixels_ok", "phash_ok"):
+        pdf[c] = pdf[c].astype("boolean")
+    return pdf
+
+
+def build_imgval_golden() -> pd.DataFrame:
+    """Mirror of __spark_entry__._image_validation computed in pure numpy
+    over the same deterministic synthetic store."""
+    from grabspark import imaging, synth
+
+    spec = synth.StoreSpec(n_hosts=4, pages_per_host=12, seed=1234)
+    store = synth.build_store(spec)
+    recs: dict[str, list] = {}
+    for row in store.pdf.itertuples():
+        dec = imaging.decode_image(row.bytes, int(row.w), int(row.h), row.fmt)
+        ref = imaging.pixels_from_id(row.image_id, int(row.w), int(row.h))
+        if row.fmt == "raw":
+            p_ok = bool(np.array_equal(ref, dec))
+            psnr = None
+        else:
+            psnr = imaging.psnr(ref, dec)
+            p_ok = psnr >= imaging.PSNR_LOSSY_MIN_DB
+        ph_ok = int(row.phash) == imaging.phash64(dec)
+        recs.setdefault(row.fmt, []).append((p_ok, ph_ok, psnr))
+    rows = []
+    for fmt in sorted(recs):
+        vals = recs[fmt]
+        psnrs = [v[2] for v in vals if v[2] is not None]
+        rows.append(
+            (
+                fmt,
+                len(vals),
+                sum(1 for v in vals if v[0]),
+                sum(1 for v in vals if v[1]),
+                round(min(psnrs), 2) if psnrs else None,
+            )
+        )
+    pdf = pd.DataFrame(
+        rows, columns=["fmt", "n", "n_pixels_ok", "n_phash_ok", "min_qraw_psnr_db"]
+    )
+    pdf["n"] = pdf["n"].astype("int64")
+    pdf["n_pixels_ok"] = pdf["n_pixels_ok"].astype("int64")
+    pdf["n_phash_ok"] = pdf["n_phash_ok"].astype("int64")
+    pdf["min_qraw_psnr_db"] = pdf["min_qraw_psnr_db"].astype("float64")
+    return pdf
+
+
+def main(sf_dirs: list[str]) -> None:
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    for sf_dir in sf_dirs:
+        pdf = build_trace_golden(sf_dir)
+        out = golden_trace_path(sf_dir)
+        pdf.to_parquet(out, index=False)
+        print(f"# wrote {out}: {len(pdf)} rows")
+    iv = build_imgval_golden()
+    iv.to_parquet(golden_imgval_path(), index=False)
+    print(f"# wrote {golden_imgval_path()}: {len(iv)} rows")
+
+
+if __name__ == "__main__":
+    dirs = sys.argv[1:] or ["/root/testdata/sf0.01", "/root/testdata/sf0.001"]
+    main(dirs)

@@ -115,6 +115,10 @@ class OracleResult:
     seen: set = field(default_factory=set)
     # (seed_idx, fetch_seq, url, title, content)
     pages: list[tuple] = field(default_factory=list)
+    # BFS depth per trace row — the engine's ``round`` column (seeds are
+    # depth 0; a link found at depth d is fetched at depth d+1).  FIFO pop
+    # order IS level order, so depth is well-defined per pop.
+    rounds: list[int] = field(default_factory=list)
 
 
 def scrape_and_extract(store_by_id: dict, page_url: str):
@@ -149,11 +153,11 @@ def crawl(store_by_id: dict, seeds: list[str]) -> OracleResult:
     """handlers/crawl.go:47-50 seed loop + functions/main_functions.go:28-76."""
     res = OracleResult()
     for seed_idx, seed in enumerate(seeds):
-        to_visit = [seed]
+        to_visit = [(seed, 0)]
         visited: set[str] = set()
         seq = 0
         while to_visit:
-            url = to_visit.pop(0)
+            url, depth = to_visit.pop(0)
             canon = normalize_url(url)
             if canon in visited:
                 continue
@@ -164,11 +168,12 @@ def crawl(store_by_id: dict, seeds: list[str]) -> OracleResult:
             except GoParseError:
                 host = ""
             res.trace.append((seed_idx, seq, url, canon, host, ok))
+            res.rounds.append(depth)
             if ok:
                 res.pages.append((seed_idx, seq, url, title, content))
                 for link in links:
                     if normalize_url(link) not in visited:
-                        to_visit.append(link)  # raw link, DOM order (:69)
+                        to_visit.append((link, depth + 1))  # raw link, DOM order (:69)
             seq += 1
         res.seen |= {(seed_idx, c) for c in visited}
     return res

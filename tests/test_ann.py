@@ -1,0 +1,33 @@
+"""Bucketed ANN (ann_lsh_topk) vs the brute-force baseline: the multi-
+probe LSH query must return genuinely near neighbours — recall vs the
+exact top-10 is logged and must clear a floor; the centroid-based
+knn path must agree with the all-pairs form on the winner."""
+
+import os
+
+from grabspark.ops import similarity
+
+SF_DIR = os.environ.get("GRABSPARK_TEST_SF", "/root/testdata/sf0.001")
+
+
+def test_ann_lsh_recall_vs_brute_force(spark):
+    exact = [r.vec_id for r in similarity.ann_cosine_topk(spark, SF_DIR).collect()]
+    approx = [r.vec_id for r in similarity.ann_lsh_topk(spark, SF_DIR).collect()]
+    assert approx, "bucketed ANN returned no candidates"
+    recall = len(set(exact) & set(approx)) / len(exact)
+    print(f"# ann_lsh_topk recall@10 = {recall:.2f} ({len(approx)} returned)")
+    # multi-probe hamming<=1 over 8 planes: same-bucket neighbours are
+    # cosine-close by construction; demand a non-trivial floor
+    assert recall >= 0.2
+
+
+def test_knn_centroid_agrees_with_all_pairs(spark):
+    exact = {
+        r.label: r.central_vec_id
+        for r in similarity.knn_per_label(spark, SF_DIR).collect()
+    }
+    fast = {
+        r.label: r.central_vec_id
+        for r in similarity.knn_centroid_per_label(spark, SF_DIR).collect()
+    }
+    assert exact == fast

@@ -76,3 +76,55 @@ def test_contains_speed():
     bl.contains(probe)
     # steady-state ~0.3s; the per-shard loop this guards against took ~17s
     assert time.time() - t0 < 8.0
+
+
+# -- partitioned mode (J2 scale path) ----------------------------------------
+
+
+def test_partitioned_no_false_negatives_and_probe(spark, tmp_path):
+    """Every inserted key must probe true through the shard-co-partitioned
+    path; un-inserted keys mostly probe false (advisory prefilter)."""
+    from pyspark.sql import functions as F
+
+    from grabspark.bloom import PartitionedBloom, partitioned_prefilter
+
+    pb = PartitionedBloom(str(tmp_path / "pb"), n_bits=1 << 14, n_hashes=5, n_shards=8)
+    pb.create()
+    ins = spark.createDataFrame([(f"k{i}",) for i in range(1500)], ["k"]).repartition(6)
+    v1 = pb.update(ins, "k")
+    assert v1 == 1 and len(pb.shard_files()) > 0
+
+    probe = spark.createDataFrame(
+        [(f"k{i}",) for i in range(1500)] + [(f"x{i}",) for i in range(1500)], ["k"]
+    )
+    out = partitioned_prefilter(probe, F.col("k"), pb, spark, out_col="maybe")
+    rows = {r.k: r.maybe for r in out.collect()}
+    assert all(rows[f"k{i}"] for i in range(1500)), "false negative!"
+    fp = sum(1 for i in range(1500) if rows[f"x{i}"]) / 1500
+    assert fp < 0.2
+
+
+def test_partitioned_incremental_update_and_rollback(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from grabspark.bloom import PartitionedBloom, partitioned_prefilter
+
+    pb = PartitionedBloom(str(tmp_path / "pb2"), n_bits=1 << 14, n_hashes=5, n_shards=8)
+    pb.create()
+    a = spark.createDataFrame([(f"a{i}",) for i in range(300)], ["k"])
+    b = spark.createDataFrame([(f"b{i}",) for i in range(300)], ["k"])
+    v1 = pb.update(a, "k")
+    v2 = pb.update(b, "k")
+    assert (v1, v2) == (1, 2)
+
+    probe = spark.createDataFrame([("a0",), ("b0",)], ["k"])
+    out = {r.k: r.m for r in partitioned_prefilter(probe, F.col("k"), pb, spark, "m").collect()}
+    assert out == {"a0": True, "b0": True}
+
+    # rollback to v1: b-keys may flip back to definitely-not-seen
+    pb.rollback(v1)
+    out1 = {r.k: r.m for r in partitioned_prefilter(probe, F.col("k"), pb, spark, "m").collect()}
+    assert out1["a0"] is True
+
+    pb2 = PartitionedBloom.load(str(tmp_path / "pb2"))
+    assert (pb2.n_bits, pb2.n_hashes, pb2.n_shards) == (1 << 14, 5, 8)

@@ -1,0 +1,69 @@
+"""Edge-case guard for the shingle builder (ADVICE r1, high): docs with
+fewer than 3 tokens must emit no shingles — under Spark 4 ANSI mode an
+unguarded sequence(1, size-2) is descending and throws
+INVALID_ARRAY_INDEX; with ANSI off it fabricates spurious shingles that
+diverge from DuckDB.  Also checks the document-frequency stop-list keeps
+Spark and DuckDB agreeing on a corpus with a hot boilerplate shingle."""
+
+import os
+
+import duckdb
+import pytest
+
+from grabspark.ops import dedup
+
+
+@pytest.fixture(scope="module")
+def edge_sf(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("dedupedge")
+    docs = [
+        (0, ""),  # empty
+        (1, "one"),  # 1 token
+        (2, "two tokens"),  # 2 tokens
+        (3, "exactly three tokens"),  # minimum shingle-able
+        (4, "a b c d e f g"),
+        (5, "a b c d e f g"),  # exact dup of 4
+        (6, "a b c d e f h"),  # near dup of 4
+        (7, "   "),  # whitespace only
+    ]
+    # 120 docs sharing one boilerplate shingle ("common boiler plate"):
+    # df=120 > _MAX_DF=100, so the stop-list must drop it in BOTH engines
+    # (without the guard these alone create 120*119/2 = 7140 join pairs)
+    docs += [
+        (100 + i, f"common boiler plate unique{i} tail{i}") for i in range(120)
+    ]
+    spark.createDataFrame(docs, ["doc_id", "text"]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(str(base), "documents.parquet"))
+    return str(base)
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    # Spark writes documents.parquet as a directory of part files
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(sf_dir, 'documents.parquet', '*.parquet')}'"
+    )
+    return con
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_ngram_jaccard", "minhash_signatures", "dedup_minhash_lsh", "dedup_simhash",
+     "ngram_hot_shingles"],
+)
+def test_short_docs_do_not_break_or_diverge(spark, edge_sf, name):
+    sdf = dedup.QUERIES[name](spark, edge_sf)
+    srows = sorted(tuple(str(v) for v in r) for r in sdf.collect())
+    con = _duck(edge_sf)
+    orows = sorted(tuple(str(v) for v in r) for r in con.execute(dedup.ORACLES[name]).fetchall())
+    con.close()
+    assert srows == orows
+
+
+def test_short_docs_emit_no_shingles(spark, edge_sf):
+    sh = dedup._shingles_df(spark, edge_sf)
+    by_doc = {r.doc_id for r in sh.select("doc_id").distinct().collect()}
+    assert by_doc.isdisjoint({0, 1, 2, 7})
+    assert 3 in by_doc

@@ -124,6 +124,119 @@ def test_bloom_disabled_same_result(spark, crawl_setup):
     assert got == [tuple(t) for t in golden.trace]
 
 
+def test_bloom_partitioned_same_result(spark, crawl_setup):
+    """J2 partitioned mode (BloomConfig mode='partitioned'): per-shard
+    files built/probed executor-side must leave the [REF-EXACT] trace
+    untouched (advisory-filter invariant, now for the scale mode)."""
+    spec, store, store_path, seeds, golden, base = crawl_setup
+    eng = run_engine(
+        spark,
+        store_path,
+        seeds,
+        base / "run_pbloom",
+        bloom=BloomConfig(enabled=True, mode="partitioned", n_bits=1 << 16, n_shards=8),
+    )
+    got = engine_trace_rows(eng)
+    assert got == [tuple(t) for t in golden.trace]
+    # the filter actually exists on disk as per-shard files
+    assert eng.pbloom is not None and len(eng.pbloom.shard_files()) > 0
+
+
+def test_torn_round_resume_exact(spark, crawl_setup):
+    """CK1 crash safety e2e: interrupt AFTER side-table writes but BEFORE
+    the frontier commit (the torn-round shape the commit protocol
+    defends against), then resume() — the final trace/seen must be
+    bit-identical to an uninterrupted run."""
+    from grabspark.config import EngineConfig
+    from grabspark.engine import CrawlEngine
+
+    spec, store, store_path, seeds, golden, base = crawl_setup
+    run_dir = base / "run_torn"
+    cfg = EngineConfig(run_dir=str(run_dir), store_path=store_path, max_rounds=2)
+    eng = CrawlEngine(spark, cfg)
+    eng.start(seeds)  # stops after round 2 with a committed frontier
+
+    # simulate a torn round 3: trace + seen get appended (uncommitted
+    # garbage from a crashed round), but the frontier commit never lands
+    dirty = eng.trace.read().limit(3)
+    eng.trace.append(dirty)
+    eng.seen.append(eng.seen.read().limit(2))
+
+    cfg2 = EngineConfig(run_dir=str(run_dir), store_path=store_path)
+    eng2 = CrawlEngine(spark, cfg2)
+    eng2.resume()  # must roll the side tables back to the committed round
+
+    got = engine_trace_rows(eng2)
+    assert got == [tuple(t) for t in golden.trace]
+    seen_got = {
+        (r.seed_idx, r.url_canon)
+        for r in eng2.seen_df().select("seed_idx", "url_canon").collect()
+    }
+    assert seen_got == golden.seen
+
+
+def test_export_pages_roundtrip(engine_run, crawl_setup):
+    """S7 export ≙ GET /api/get-data: one ZIP of per-host JSON arrays in
+    fetch order (handlers/scrape.go:30-70; PageData shape)."""
+    import json
+    import zipfile
+
+    from grabspark.export import export_pages
+
+    *_, base = crawl_setup
+    out = str(base / "scraped_data.zip")
+    export_pages(engine_run, out)
+    with zipfile.ZipFile(out) as zf:
+        names = sorted(zf.namelist())
+        assert names and all(n.endswith(".json") for n in names)
+        exported = []
+        for n in names:
+            host = n[: -len(".json")]
+            records = json.loads(zf.read(n))
+            assert isinstance(records, list)
+            for r in records:
+                exported.append((host, r["title"], r["url"], r["content"]))
+    pages = {
+        (r.host, r.title, r.url, r.content)
+        for r in engine_run.pages_df().select("host", "title", "url", "content").collect()
+    }
+    assert set(exported) == pages
+    # within a host file, records are in global fetch order (seed then
+    # seq — the reference appends sequentially, seeds crawled in order);
+    # note a url may appear once PER SEED (per-seed seen reset)
+    expect: dict[str, list] = {}
+    for r in (
+        engine_run.pages_df()
+        .select("host", "url", "seed_idx", "fetch_seq")
+        .orderBy("seed_idx", "fetch_seq")
+        .collect()
+    ):
+        expect.setdefault(r.host, []).append(r.url)
+    with zipfile.ZipFile(out) as zf:
+        for n in zf.namelist():
+            host = n[: -len(".json")]
+            urls = [r["url"] for r in json.loads(zf.read(n))]
+            assert urls == expect[host]
+
+
+def test_per_host_bucket_pruned_read(engine_run):
+    """D5: the trace table is host-hash bucketed; a per-host read opens
+    only that bucket's files (manifest-level pruning)."""
+    from pyspark.sql import functions as F
+
+    trace = engine_run.trace_df()
+    hosts = [r.host for r in trace.select("host").distinct().collect()]
+    assert len(hosts) >= 2
+    h = hosts[0]
+    b = trace.filter(F.col("host") == h).select("host_bucket").first()[0]
+    pruned_files = engine_run.trace.files_for_bucket(int(b))
+    all_files = engine_run.trace.manifest()["files"]
+    assert 0 < len(pruned_files) < len(all_files)
+    pruned = engine_run.trace.read(bucket=int(b)).filter(F.col("host") == h)
+    full = trace.filter(F.col("host") == h)
+    assert pruned.count() == full.count()
+
+
 def test_budget_mode_invariants(spark, crawl_setup):
     """per_host budget: same fetched SET (politeness reorders, never
     drops), per-host per-round budget respected, priority order kept

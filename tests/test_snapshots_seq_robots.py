@@ -145,3 +145,74 @@ def test_robots_host_delays(spark):
     rules = _rules(spark, [("a.test", "/", True, 2.5), ("a.test", "/x", False, 0.5)])
     got = {r.host: r.crawl_delay for r in robots_mod.host_delays(rules, 1.0).collect()}
     assert got == {"a.test": 2.5}
+
+
+# -- bucket partitioning + row-level ops (D5, §2.5) --------------------------
+
+
+def test_snapshot_bucket_partitioned_pruned_read(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from grabspark.snapshots import SnapshotTable
+
+    df = spark.range(200).select(
+        F.col("id"), (F.col("id") % 4).cast("int").alias("bucket")
+    )
+    t = SnapshotTable(spark, str(tmp_path / "tb"), partition_col="bucket")
+    t.overwrite(df)
+    t.append(
+        spark.range(200, 300).select(
+            F.col("id"), (F.col("id") % 4).cast("int").alias("bucket")
+        )
+    )
+    m = t.manifest()
+    assert m["parts"], "manifest must index files by bucket"
+    files_b1 = t.files_for_bucket(1)
+    assert 0 < len(files_b1) < len(m["files"])
+    got = sorted(r.id for r in t.read(bucket=1).collect())
+    want = sorted(i for i in range(300) if i % 4 == 1)
+    assert got == want
+    # bucket column survives in the data files
+    assert "bucket" in t.read(bucket=1).columns
+
+
+def test_snapshot_upsert_copy_on_write(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from grabspark.snapshots import SnapshotTable
+
+    base = spark.range(100).select(
+        F.col("id"), (F.col("id") % 4).cast("int").alias("bucket"),
+        F.lit("old").alias("val"),
+    )
+    t = SnapshotTable(spark, str(tmp_path / "up"), partition_col="bucket")
+    t.overwrite(base)
+    before = t.manifest()
+    # update rows in bucket 2 only + insert new ids (buckets 0/2)
+    upd = spark.createDataFrame(
+        [(2, 2, "new"), (6, 2, "new"), (1000, 0, "ins")], ["id", "bucket", "val"]
+    )
+    t.upsert(upd, keys=["id"])
+    after = t.manifest()
+    # untouched buckets' files carried over verbatim
+    untouched = [f for f, b in before["parts"].items() if b in (1, 3)]
+    assert untouched and all(f in after["files"] for f in untouched)
+    rows = {r.id: r.val for r in t.read().collect()}
+    assert rows[2] == "new" and rows[6] == "new" and rows[1000] == "ins"
+    assert rows[3] == "old" and len(rows) == 101
+
+
+def test_snapshot_delete_where(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from grabspark.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "del"))
+    t.overwrite(spark.range(50).select(F.col("id")))
+    t.delete_where(F.col("id") < 20)
+    got = sorted(r.id for r in t.read().collect())
+    assert got == list(range(20, 50))
+    assert t.row_count() == 30
+    # rollback restores the pre-delete snapshot (time travel)
+    t.rollback(0)
+    assert t.row_count() == 50
