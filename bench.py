@@ -42,6 +42,8 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "simhash64_near_dup",
+    "dedup_embedding_cosine",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "knn_per_label",

@@ -98,11 +98,11 @@ def synth_candidates(
     )
 
 
-def synth_seen(spark: SparkSession, n: int, n_frontier: int, n_hosts: int, path: str) -> str:
-    """Seen table over lattice keys in [0, 2*n_frontier)."""
+def synth_seen_df(spark: SparkSession, n: int, n_frontier: int, n_hosts: int) -> DataFrame:
+    """Seen table rows over lattice keys in [0, 2*n_frontier)."""
     space = max(2 * n_frontier, 1)
     st = _stride(n_frontier)
-    (
+    return (
         spark.range(n)
         .withColumn("k", F.pmod(F.xxhash64(F.col("id") + 13), F.lit(space)) * st)
         .withColumn("hostid", _host_expr("k", n_hosts))
@@ -113,18 +113,20 @@ def synth_seen(spark: SparkSession, n: int, n_frontier: int, n_hosts: int, path:
             F.lit(0).alias("round"),
         )
         .dropDuplicates(["url_canon"])
-        .write.mode("overwrite")
-        .parquet(path)
     )
+
+
+def synth_seen(spark: SparkSession, n: int, n_frontier: int, n_hosts: int, path: str) -> str:
+    synth_seen_df(spark, n, n_frontier, n_hosts).write.mode("overwrite").parquet(path)
     return path
 
 
-def synth_store(spark: SparkSession, n: int, n_frontier: int, n_hosts: int, path: str) -> str:
+def synth_store_df(spark: SparkSession, n: int, n_frontier: int, n_hosts: int) -> DataFrame:
     """Page store covering lattice keys [0, n) (n ~ 0.5*n_frontier for a
     ~70% hit rate); metadata payload only — the scheduling metric joins,
     full decode is benchmarked separately."""
     st = _stride(n_frontier)
-    (
+    return (
         spark.range(n)
         .withColumn("k", F.col("id") * st)
         .withColumn("hostid", _host_expr("k", n_hosts))
@@ -136,16 +138,74 @@ def synth_store(spark: SparkSession, n: int, n_frontier: int, n_hosts: int, path
             F.md5(F.col("k").cast("string")).alias("caption"),
             F.xxhash64("k").alias("phash"),
         )
-        .write.mode("overwrite")
-        .parquet(path)
     )
+
+
+def synth_store(spark: SparkSession, n: int, n_frontier: int, n_hosts: int, path: str) -> str:
+    synth_store_df(spark, n, n_frontier, n_hosts).write.mode("overwrite").parquet(path)
     return path
+
+
+# -- bucketed storage layout (the 100 TB design: SURVEY J1/J3) ---------------
+#
+# The seen table and page store are the two BIG sides of every round's
+# joins.  Stored as Spark bucketed tables on their join keys (64 buckets
+# = shuffle.partitions), the per-round anti-join and fetch join read them
+# pre-partitioned: only the (much smaller) candidate side shuffles, the
+# 10^10-row tables never move.  This is the bucketing/co-located-join
+# layout the scale design prescribes; bucket metadata travels as catalog
+# DDL (CREATE TABLE ... CLUSTERED BY ... LOCATION) so any session can
+# re-attach to the same files.
+
+N_BUCKETS = 64
+
+# bucketed by url_canon ALONE: equal urls co-locate regardless of seed,
+# which satisfies ClusteredDistribution for the (seed_idx, url_canon)
+# anti-join AND survives Catalyst constant-folding the seed_idx key away
+# (a (seed_idx, url_canon) bucket spec stops matching once the literal
+# seed filter is pushed down)
+SEEN_TBL_DDL = (
+    "CREATE TABLE IF NOT EXISTS {name} "
+    "(seed_idx INT, url_canon STRING, first_seq BIGINT, round INT) "
+    "USING parquet CLUSTERED BY (url_canon) "
+    "SORTED BY (url_canon) INTO {nb} BUCKETS LOCATION '{path}'"
+)
+STORE_TBL_DDL = (
+    "CREATE TABLE IF NOT EXISTS {name} "
+    "(image_id STRING, w INT, h INT, fmt STRING, caption STRING, phash BIGINT) "
+    "USING parquet CLUSTERED BY (image_id) "
+    "SORTED BY (image_id) INTO {nb} BUCKETS LOCATION '{path}'"
+)
+
+
+def write_bucketed(df: DataFrame, name: str, path: str, keys: list[str]) -> None:
+    (
+        df.repartition(N_BUCKETS, *keys)  # one file per bucket
+        .write.mode("overwrite")
+        .bucketBy(N_BUCKETS, *keys)
+        .sortBy(*keys)
+        .option("path", path)
+        .saveAsTable(name)
+    )
+
+
+def attach_bucketed(spark: SparkSession, name: str, ddl: str, path: str) -> None:
+    """Register an existing bucketed table's layout in this session's
+    catalog (metadata only — no data touched)."""
+    spark.sql(ddl.format(name=name, nb=N_BUCKETS, path=path))
+
+
+def _read_side(spark: SparkSession, path: str) -> DataFrame:
+    """'table:<name>' reads a catalog (bucketed) table; else parquet."""
+    if path.startswith("table:"):
+        return spark.table(path[len("table:"):])
+    return spark.read.parquet(path)
 
 
 def build_seen_bloom(
     spark: SparkSession, seen_path: str, n_bits: int, n_hashes: int = 7, n_shards: int = 64
 ) -> ShardedBloom:
-    seen = spark.read.parquet(seen_path)
+    seen = _read_side(spark, seen_path)
     bl = ShardedBloom(n_bits, n_hashes, n_shards)
     key = F.concat_ws("\x1f", F.col("seed_idx").cast("string"), F.col("url_canon"))
     partials = build_partials(
@@ -177,8 +237,8 @@ def run_frontier_round(
             print(f"## stage {label}: +{time.time() - t:.2f}s n={n}", file=sys.stderr, flush=True)
 
     cand_raw = synth_candidates(spark, n_frontier, n_hosts, space_unit)
-    seen = spark.read.parquet(seen_path).select("seed_idx", "url_canon")
-    store = spark.read.parquet(store_path) if store_path else None
+    seen = _read_side(spark, seen_path).select("seed_idx", "url_canon")
+    store = _read_side(spark, store_path) if store_path else None
 
     t0 = time.time()
     # ONE Arrow pass parses canon + host + fetch_key together (the regex

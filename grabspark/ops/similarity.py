@@ -311,6 +311,54 @@ SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
 """
 
 
+_COS_THRESH = 0.25
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-bucketed (the last member of
+    the dedup family): candidate pairs come from an equi-join on the
+    8-bit hyperplane bucket — never the full cross join — then exact
+    cosine >= 0.9 keeps true near-dups.  Both engines replay the same
+    deterministic bucketing, so the oracle is exact; the brute-force
+    recall story is covered by ann_cosine_topk/ann_lsh_topk."""
+    e = T(spark, sf, "embeddings")
+    eb = e.select("vec_id", "embedding", F.expr(_bucket_spark_expr()).alias("bucket"))
+    a = eb.alias("a")
+    b = eb.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.col("a.embedding").alias("va"),
+        F.col("b.embedding").alias("vb"),
+    )
+    dot = _DOT.replace("zip_with(a, b", "zip_with(va, vb")
+    cos = f"round({dot} / ({_NORM.format(c='va')} * {_NORM.format(c='vb')}), 6)"
+    return (
+        pairs.withColumn("cos_sim", F.expr(cos))
+        .filter(F.col("cos_sim") >= _COS_THRESH)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+_DEDUP_COS_SQL = f"""
+WITH eb AS (SELECT vec_id, embedding, {_bucket_duck_expr()} AS bucket FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         a.embedding::DOUBLE[] AS va, b.embedding::DOUBLE[] AS vb
+  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b,
+       round(list_dot_product(va, vb)
+             / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))), 6) AS cos_sim
+FROM pairs
+WHERE round(list_dot_product(va, vb)
+      / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))), 6) >= {_COS_THRESH}
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_norms": embedding_norms,
@@ -318,6 +366,7 @@ QUERIES = {
     "knn_centroid_per_label": knn_centroid_per_label,
     "lsh_bucket_sign": lsh_bucket_sign,
     "ann_lsh_topk": ann_lsh_topk,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
 ORACLES = {
@@ -327,4 +376,5 @@ ORACLES = {
     "knn_centroid_per_label": _KNN_CENTROID_SQL,
     "lsh_bucket_sign": _lsh_sql(),
     "ann_lsh_topk": _ANN_LSH_SQL,
+    "dedup_embedding_cosine": _DEDUP_COS_SQL,
 }
