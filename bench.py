@@ -55,6 +55,8 @@ HEADLINE = [
     "quality_score",
     "winnow_fingerprints",
     "event_window_agg",
+    "audio_features",
+    "video_frame_sample",
 ]
 
 
@@ -65,6 +67,8 @@ def main() -> None:
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("grabspark-bench")
         .config("spark.sql.shuffle.partitions", str(max(int(CPUS) * 2, 8)))
+        # honor the bucketed seen/store layout in the frontier round
+        .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -97,16 +101,22 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
         spark.catalog.clearCache()  # no cross-query cache accumulation
 
-    # frontier scheduling-round throughput (north metric)
+    # frontier scheduling-round throughput (north metric) — seen/store
+    # stored BUCKETED on their join keys (the 100 TB co-located-join
+    # layout): the per-round anti-join and fetch join read them with no
+    # exchange; only the candidate batch shuffles
     from grabspark import bench_core
 
     base = tempfile.mkdtemp(prefix="grabspark-bench-")
-    seen_path = bench_core.synth_seen(
-        spark, FRONTIER_N, FRONTIER_N, 1024, os.path.join(base, "seen")
+    bench_core.write_bucketed(
+        bench_core.synth_seen_df(spark, FRONTIER_N, FRONTIER_N, 1024),
+        "seen_b", os.path.join(base, "seen_tbl"), ["url_canon"],
     )
-    store_path = bench_core.synth_store(
-        spark, FRONTIER_N // 2, FRONTIER_N, 1024, os.path.join(base, "store")
+    bench_core.write_bucketed(
+        bench_core.synth_store_df(spark, FRONTIER_N // 2, FRONTIER_N, 1024),
+        "store_b", os.path.join(base, "store_tbl"), ["image_id"],
     )
+    seen_path, store_path = "table:seen_b", "table:store_b"
     bl = bench_core.build_seen_bloom(spark, seen_path, n_bits=1 << 25)
     # warm-up round (JIT/codegen + sandbox CPU ramp), then best-of-2
     # measured rounds (this box's effective CPU varies with time)

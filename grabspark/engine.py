@@ -216,9 +216,7 @@ class CrawlEngine:
         # W1 politeness budget
         deferred = None
         if cfg.budget_mode == "per_host":
-            survivors = self._with_budget_rank(survivors).persist()
-            sched_pre = survivors.filter(F.col("_rk") <= F.col("_budget")).drop("_rk", "_budget")
-            deferred = survivors.filter(F.col("_rk") > F.col("_budget")).drop("_rk", "_budget")
+            sched_pre, deferred = self._schedule_budget(survivors)
         else:
             sched_pre = survivors
 
@@ -316,19 +314,26 @@ class CrawlEngine:
             },
         )
         sched_pre.unpersist()
-        if deferred is not None:
-            survivors.unpersist()
         # drop any helper caches (e.g. distributed seq assignment's range-
         # partitioned intermediate) — nothing is cached across rounds
         self.spark.catalog.clearCache()
 
     # -- W1 ------------------------------------------------------------------
 
-    def _with_budget_rank(self, survivors: DataFrame) -> DataFrame:
-        """Per-host priority rank + crawl-delay budget (north_rule).  The
-        budget is fetches allowed per scheduling tick:
-        max(1, tick_seconds / crawl_delay).  Rank order is the global FIFO
-        priority (seed_idx, parent_seq, link_idx) [REF ordering]."""
+    def _schedule_budget(self, survivors: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Per-host priority rank + crawl-delay budget (north_rule): the
+        budget is fetches allowed per scheduling tick, max(1,
+        tick_seconds / crawl_delay); rank order is the global FIFO
+        priority (seed_idx, parent_seq, link_idx) [REF ordering].
+
+        Scale shape: the budget only BINDS on hosts holding more rows
+        than their budget — everything else is scheduled whole with no
+        window at all (no sort, no skewed straggler).  Over-budget hosts
+        take the salted two-phase top-k (phase 1 bounds every window
+        partition to <= budget rows; the hot host costs salt_buckets
+        parallel sorts plus one bounded merge); their unscheduled rows
+        defer to the next round via an anti-join on the (small,
+        broadcastable) scheduled set."""
         cfg = self.cfg
         if self.rules is not None:
             delays = robots_mod.host_delays(self.rules, cfg.default_crawl_delay)
@@ -337,11 +342,35 @@ class CrawlEngine:
         else:
             delay = F.lit(cfg.default_crawl_delay)
         budget = F.greatest(F.lit(1), F.floor(F.lit(cfg.tick_seconds) / delay)).cast("int")
-        w = Window.partitionBy("host").orderBy("seed_idx", "parent_seq", "link_idx")
-        out = survivors.withColumn("_budget", budget).withColumn(
-            "_rk", F.row_number().over(w)
+        counts = survivors.groupBy("host").agg(F.count(F.lit(1)).alias("_hn"))
+        s = (
+            survivors.withColumn("_budget", budget)
+            .join(F.broadcast(counts), "host")
+            .persist()
         )
-        return out.drop("crawl_delay") if self.rules is not None else out
+        drop_cols = ["_budget", "_hn"] + (["crawl_delay"] if self.rules is not None else [])
+        light = s.filter(F.col("_hn") <= F.col("_budget")).drop(*drop_cols)
+        heavy = s.filter(F.col("_hn") > F.col("_budget"))
+        salt = F.pmod(F.xxhash64("url_canon"), F.lit(cfg.salt_buckets))
+        w1 = Window.partitionBy("host", "_salt").orderBy("seed_idx", "parent_seq", "link_idx")
+        phase1 = (
+            heavy.withColumn("_salt", salt)
+            .withColumn("_rk1", F.row_number().over(w1))
+            .filter(F.col("_rk1") <= F.col("_budget"))
+        )
+        w2 = Window.partitionBy("host").orderBy("seed_idx", "parent_seq", "link_idx")
+        sched_heavy = (
+            phase1.withColumn("_rk2", F.row_number().over(w2))
+            .filter(F.col("_rk2") <= F.col("_budget"))
+            .drop("_salt", "_rk1", "_rk2")
+        )
+        deferred = heavy.join(
+            F.broadcast(sched_heavy.select("seed_idx", "url_canon")),
+            ["seed_idx", "url_canon"],
+            "left_anti",
+        ).drop(*drop_cols)
+        sched = light.unionByName(sched_heavy.drop(*drop_cols))
+        return sched, deferred
 
     # -- result accessors ----------------------------------------------------
 
