@@ -27,6 +27,8 @@ class BloomConfig:
 @dataclass
 class EngineConfig:
     run_dir: str
+    # parquet path, or "table:<name>" for a catalog table (e.g. a store
+    # registered bucketed on image_id so the fetch join skips its shuffle)
     store_path: str
     # "unlimited" reproduces the reference's semantics at the ordering
     # level (whole BFS level per round); "per_host" enforces the

@@ -76,7 +76,14 @@ class CrawlEngine:
             spark, os.path.join(rd, "trace"), TRACE_SCHEMA, partition_col="host_bucket"
         )
         self.metrics = SnapshotTable(spark, os.path.join(rd, "metrics"), METRICS_SCHEMA)
-        self.store = spark.read.parquet(cfg.store_path)
+        # "table:<name>" reads a catalog table — register the page store
+        # as a bucketed table on image_id (bench_core.STORE_TBL_DDL) and
+        # the per-round fetch join reads it pre-partitioned, no exchange
+        self.store = (
+            spark.table(cfg.store_path[len("table:"):])
+            if cfg.store_path.startswith("table:")
+            else spark.read.parquet(cfg.store_path)
+        )
         self.rules = (
             spark.read.parquet(cfg.robots_path) if cfg.robots_path else None
         )

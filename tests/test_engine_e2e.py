@@ -270,3 +270,21 @@ def test_budget_mode_invariants(spark, crawl_setup):
         if k in last:
             assert r.round >= last[k]
         last[k] = r.round
+
+
+def test_bucketed_store_same_result(spark, crawl_setup):
+    """Engine with the page store registered as a bucketed catalog table
+    (fetch join reads it pre-partitioned): trace must stay [REF-EXACT]."""
+    from pyspark.sql import functions as F
+
+    from grabspark import bench_core
+
+    spec, store, store_path, seeds, golden, base = crawl_setup
+    df = spark.read.parquet(store_path)
+    bench_core.write_bucketed(
+        df, "store_e2e", str(base / "store_bucketed"), ["image_id"]
+    )
+    eng = run_engine(spark, "table:store_e2e", seeds, base / "run_bstore")
+    got = engine_trace_rows(eng)
+    assert got == [tuple(t) for t in golden.trace]
+    spark.sql("DROP TABLE IF EXISTS store_e2e")

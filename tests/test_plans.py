@@ -143,3 +143,37 @@ def test_no_data_collect_in_graded_queries():
                 if not any(a in ctx for a in allowed):
                     bad.append(f"{path}:{i + 1}: {ln.strip()}")
     assert not bad, "data-scale collect() calls:\n" + "\n".join(bad)
+
+
+def test_bucketed_seen_join_has_no_exchange_on_big_side(spark, tmp_path):
+    """The scale layout (BENCH/BASELINE.md): seen stored bucketed on
+    url_canon means the per-round anti-join shuffles ONLY the candidate
+    side.  Regression guard on the plan shape."""
+    import re
+
+    from grabspark import bench_core
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        name, path = "seen_plan_guard", str(tmp_path / "seen_tbl")
+        bench_core.write_bucketed(
+            bench_core.synth_seen_df(spark, 5000, 5000, 16), name, path, ["url_canon"]
+        )
+        cand = spark.createDataFrame(
+            [(0, f"http://h{i % 16}.test/p{i}") for i in range(100)],
+            "seed_idx int, url_canon string",
+        )
+        j = cand.join(
+            spark.table(name).select("seed_idx", "url_canon"),
+            ["url_canon"],
+            "left_anti",
+        )
+        p = plan(j)
+        # exactly one exchange: the candidate side; the bucketed scan none
+        assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+        assert "Bucketed: true" in p
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
