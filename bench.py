@@ -24,7 +24,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-FRONTIER_N = int(os.environ.get("SPARK_GRAFT_FRONTIER_N", "2000000"))
+# 4M default: a machine-sized round (a real 10^10 crawl's rounds are
+# huge, and larger batches amortize fixed per-round overhead honestly)
+FRONTIER_N = int(os.environ.get("SPARK_GRAFT_FRONTIER_N", "4000000"))
 
 # headline subset: one per operator family, heavy enough to matter at sf0.1
 HEADLINE = [

@@ -349,10 +349,13 @@ class CrawlEngine:
         else:
             delay = F.lit(cfg.default_crawl_delay)
         budget = F.greatest(F.lit(1), F.floor(F.lit(cfg.tick_seconds) / delay)).cast("int")
+        # per-host row counts: NO broadcast hint — at web scale the host
+        # dimension is 10^7+, so AQE must pick broadcast vs shuffle from
+        # the actual aggregate size (tiny here, huge in production)
         counts = survivors.groupBy("host").agg(F.count(F.lit(1)).alias("_hn"))
         s = (
             survivors.withColumn("_budget", budget)
-            .join(F.broadcast(counts), "host")
+            .join(counts, "host")
             .persist()
         )
         drop_cols = ["_budget", "_hn"] + (["crawl_delay"] if self.rules is not None else [])
@@ -371,8 +374,11 @@ class CrawlEngine:
             .filter(F.col("_rk2") <= F.col("_budget"))
             .drop("_salt", "_rk1", "_rk2")
         )
+        # scheduled-heavy keys are budget-bounded per host; AQE picks
+        # broadcast when they fit (no hard hint — heavy-host count is
+        # unbounded in principle)
         deferred = heavy.join(
-            F.broadcast(sched_heavy.select("seed_idx", "url_canon")),
+            sched_heavy.select("seed_idx", "url_canon"),
             ["seed_idx", "url_canon"],
             "left_anti",
         ).drop(*drop_cols)

@@ -128,3 +128,43 @@ def test_partitioned_incremental_update_and_rollback(spark, tmp_path):
 
     pb2 = PartitionedBloom.load(str(tmp_path / "pb2"))
     assert (pb2.n_bits, pb2.n_hashes, pb2.n_shards) == (1 << 14, 5, 8)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    keys=st.lists(st.text(min_size=1, max_size=40), min_size=1, max_size=200, unique=True),
+    n_shards=st.sampled_from([4, 8, 16]),
+)
+def test_partitioned_shard_math_no_false_negatives(keys, n_shards):
+    """Property: keys routed to their shard and inserted into that
+    shard's local bitmap ALWAYS probe true through the same math the
+    executor-side build/probe kernels use (pure numpy, no Spark)."""
+    from grabspark.bloom import _shard_positions, shard_of
+
+    shard_bits = 1 << 12
+    ser = pd.Series(keys)
+    shards = shard_of(ser, n_shards)
+    pos = _shard_positions(ser, 5, shard_bits)
+    bitmaps = {s: np.zeros(shard_bits // 8, dtype=np.uint8) for s in range(n_shards)}
+    for s in np.unique(shards):
+        mask = shards == s
+        p = pos[:, mask].ravel()
+        np.bitwise_or.at(
+            bitmaps[int(s)],
+            (p >> np.uint64(3)).astype(np.int64),
+            (1 << (p & np.uint64(7))).astype(np.uint8),
+        )
+    # probe: every inserted key hits in its own shard
+    for i, k in enumerate(keys):
+        s = int(shards[i])
+        pk = pos[:, i]
+        hit = all(
+            bitmaps[s][int(q) >> 3] & (1 << (int(q) & 7)) for q in pk
+        )
+        assert hit, k
+    # shard routing is deterministic across calls
+    assert np.array_equal(shard_of(ser, n_shards), shards)
