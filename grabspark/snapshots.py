@@ -153,11 +153,22 @@ class SnapshotTable:
 
         return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
+    def _align(self, df: DataFrame) -> DataFrame:
+        """Schema enforcement for incremental writes: cast the incoming
+        batch to the committed table schema.  Without this a batch whose
+        inferred types differ (e.g. python int -> int64 vs a stored
+        int32 column) writes mixed-physical-type parquet files, and the
+        vectorized reader fails on the narrowing side of the mix."""
+        schema = self.schema()
+        if schema is None:
+            return df
+        return df.select([F.col(f.name).cast(f.dataType) for f in schema.fields])
+
     def append(self, df: DataFrame, meta: dict | None = None) -> int:
         """Append-only commit: new files + parent's files (O(new) IO)."""
         parent = self.current_version()
         prev = self.manifest(parent) if parent is not None else None
-        files, rows, parts = self._write_batch(df)
+        files, rows, parts = self._write_batch(self._align(df))
         all_files = (prev["files"] if prev else []) + files
         all_rows = (prev["rows"] if prev else 0) + rows
         all_parts = dict(prev.get("parts", {}) if prev else {})
@@ -209,6 +220,7 @@ class SnapshotTable:
         prev = self.manifest(parent) if parent is not None else None
         if prev is None or not prev["files"]:
             return self.overwrite(updates, meta=meta)
+        updates = self._align(updates)
         parts = prev.get("parts", {})
         keep_files: list[str] = []
         rewrite_files: list[str] = []

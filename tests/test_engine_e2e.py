@@ -288,3 +288,50 @@ def test_bucketed_store_same_result(spark, crawl_setup):
     got = engine_trace_rows(eng)
     assert got == [tuple(t) for t in golden.trace]
     spark.sql("DROP TABLE IF EXISTS store_e2e")
+
+
+# ---------------------------------------------------------------------------
+# Property surface (SURVEY §5): engine ≡ oracle across varied graph shapes.
+# Each spec stresses a different structural regime of the reference's BFS
+# (/root/reference/functions/main_functions.go:28-60): chain depth, fan-out
+# saturation, hostile link surfaces, per-seed seen reset, and leaf-only
+# stores.  Exact trace equality (order, canon, host, ok) is the assertion —
+# the strongest [REF-EXACT] check we have.
+_SHAPE_SPECS = {
+    "deep_chain": synth.StoreSpec(
+        n_hosts=1, pages_per_host=14, out_degree=1, p_cross=0.0,
+        p_missing=0.0, p_malformed=0.0, query_pages=0, seed=7,
+    ),
+    "fanout_saturated": synth.StoreSpec(
+        n_hosts=2, pages_per_host=5, out_degree=8, p_dup=0.4, seed=11,
+    ),
+    "hostile_surfaces": synth.StoreSpec(
+        n_hosts=2, pages_per_host=6, out_degree=4, p_missing=0.3,
+        p_malformed=0.25, p_frag=0.3, p_case=0.15, p_slash=0.3, seed=13,
+    ),
+    "leaf_only": synth.StoreSpec(
+        n_hosts=2, pages_per_host=4, out_degree=0, query_pages=1, seed=17,
+    ),
+}
+
+
+@pytest.mark.parametrize("shape", sorted(_SHAPE_SPECS))
+def test_engine_oracle_equivalence_shapes(spark, tmp_path, shape):
+    spec = _SHAPE_SPECS[shape]
+    store = synth.build_store(spec)
+    store_path = str(tmp_path / "store.parquet")
+    synth.write_store_parquet(store, store_path)
+    seeds = synth.default_seeds(spec)
+    if shape == "fanout_saturated":
+        # duplicate seed: per-seed seen reset [REF-EXACT] — the second
+        # crawl of the same seed must re-fetch everything under a new
+        # seed_idx (main_functions.go:30-31: visited map is per-call).
+        seeds = seeds + seeds[:1]
+    golden = oracle.crawl(store.by_id, seeds)
+    eng = run_engine(spark, store_path, seeds, tmp_path / "run")
+    assert engine_trace_rows(eng) == [tuple(t) for t in golden.trace]
+    got_seen = {
+        (r.seed_idx, r.url_canon)
+        for r in eng.seen_df().select("seed_idx", "url_canon").collect()
+    }
+    assert got_seen == golden.seen
