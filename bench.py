@@ -48,6 +48,7 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "knn_per_label",
     "knn_centroid_per_label",
     "upsert_merge",

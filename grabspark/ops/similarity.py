@@ -359,6 +359,96 @@ WHERE round(list_dot_product(va, vb)
 """
 
 
+# -- IVF-bucketed ANN (the second scale path, alongside LSH) ---------------
+
+_N_PIVOTS = 16
+_N_PROBE = 4
+
+
+def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-bucketed ANN: coarse-quantize every vector to its nearest
+    pivot (pivots = the embeddings of vec_id 1.._N_PIVOTS — deterministic
+    random seeding, no iterative k-means, so the DuckDB oracle can replay
+    it exactly), probe the _N_PROBE cells nearest the query, exact-cosine
+    re-rank the candidates, top-10.
+
+    At 100 TB the shape is: assignment is a BUILD-TIME one-pass job (one
+    broadcast of the K-row pivot list, one map-side argmax per vector)
+    that writes a cell-partitioned table; query time reads only the
+    probed cells' partitions (partition pruning), never the full store.
+    Here both phases run in one plan; the candidate scan still touches
+    only rows whose cell survives the broadcast semi-join on probes.
+    Ties and float order are pinned (round 6dp, then pivot_id asc) so the
+    winner can't flip between engines."""
+    e = T(spark, sf, "embeddings")
+    piv = e.filter(F.col("vec_id").between(1, _N_PIVOTS)).select(
+        F.col("vec_id").alias("pivot_id"), F.col("embedding").alias("p")
+    )
+    cos_ap = f"round({_DOT.replace('zip_with(a, b', 'zip_with(a, p')} / ({_NORM.format(c='a')} * {_NORM.format(c='p')}), 6)"
+    base = e.filter(F.col("vec_id") != 0).select("vec_id", F.col("embedding").alias("a"))
+    ac = base.crossJoin(F.broadcast(piv)).withColumn("cp", F.expr(cos_ap))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cp"), F.asc("pivot_id"))
+    assigned = (
+        ac.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "a", F.col("pivot_id").alias("cell"))
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("a"))
+    probes = (
+        q.crossJoin(F.broadcast(piv))
+        .withColumn("cp", F.expr(cos_ap))
+        .orderBy(F.desc("cp"), F.asc("pivot_id"))
+        .limit(_N_PROBE)
+        .select(F.col("pivot_id").alias("cell"))
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("b"))
+    cand = assigned.join(F.broadcast(probes), "cell").crossJoin(F.broadcast(qv))
+    scored = cand.select(
+        "vec_id",
+        F.expr(f"round({_DOT} / ({_NORM.format(c='a')} * {_NORM.format(c='b')}), 6)").alias(
+            "cos_sim"
+        ),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(10)
+
+
+_ANN_IVF_SQL = f"""
+WITH piv AS (
+  SELECT vec_id AS pivot_id, embedding::DOUBLE[] AS p
+  FROM embeddings WHERE vec_id BETWEEN 1 AND {_N_PIVOTS}
+),
+base AS (SELECT vec_id, embedding::DOUBLE[] AS a FROM embeddings WHERE vec_id <> 0),
+ac AS (
+  SELECT b.vec_id, b.a, p.pivot_id,
+         round(list_dot_product(b.a, p.p)
+               / (sqrt(list_dot_product(b.a, b.a)) * sqrt(list_dot_product(p.p, p.p))), 6) AS cp
+  FROM base b, piv p
+),
+assigned AS (
+  SELECT vec_id, a, pivot_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cp DESC, pivot_id ASC) AS rk
+    FROM ac
+  ) WHERE rk = 1
+),
+q AS (SELECT embedding::DOUBLE[] AS b FROM embeddings WHERE vec_id = 0),
+probes AS (
+  SELECT p.pivot_id AS cell
+  FROM piv p, q
+  ORDER BY round(list_dot_product(q.b, p.p)
+                 / (sqrt(list_dot_product(q.b, q.b)) * sqrt(list_dot_product(p.p, p.p))), 6) DESC,
+           p.pivot_id ASC
+  LIMIT {_N_PROBE}
+),
+scored AS (
+  SELECT s.vec_id,
+         round(list_dot_product(s.a, q.b)
+               / (sqrt(list_dot_product(s.a, s.a)) * sqrt(list_dot_product(q.b, q.b))), 6) AS cos_sim
+  FROM assigned s JOIN probes pr ON s.cell = pr.cell, q
+)
+SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_norms": embedding_norms,
@@ -366,6 +456,7 @@ QUERIES = {
     "knn_centroid_per_label": knn_centroid_per_label,
     "lsh_bucket_sign": lsh_bucket_sign,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
@@ -376,5 +467,6 @@ ORACLES = {
     "knn_centroid_per_label": _KNN_CENTROID_SQL,
     "lsh_bucket_sign": _lsh_sql(),
     "ann_lsh_topk": _ANN_LSH_SQL,
+    "ann_ivf_topk": _ANN_IVF_SQL,
     "dedup_embedding_cosine": _DEDUP_COS_SQL,
 }

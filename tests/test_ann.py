@@ -31,3 +31,14 @@ def test_knn_centroid_agrees_with_all_pairs(spark):
         for r in similarity.knn_centroid_per_label(spark, SF_DIR).collect()
     }
     assert exact == fast
+
+
+def test_ann_ivf_recall_vs_brute_force(spark):
+    exact = [r.vec_id for r in similarity.ann_cosine_topk(spark, SF_DIR).collect()]
+    approx = [r.vec_id for r in similarity.ann_ivf_topk(spark, SF_DIR).collect()]
+    assert approx, "IVF ANN returned no candidates"
+    recall = len(set(exact) & set(approx)) / len(exact)
+    print(f"# ann_ivf_topk recall@10 = {recall:.2f} ({len(approx)} returned)")
+    # 4-of-16 cells probed: nearest-cell candidates must recover a
+    # non-trivial share of the exact top-10
+    assert recall >= 0.2
