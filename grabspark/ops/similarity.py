@@ -387,11 +387,12 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     cos_ap = f"round({_DOT.replace('zip_with(a, b', 'zip_with(a, p')} / ({_NORM.format(c='a')} * {_NORM.format(c='p')}), 6)"
     base = e.filter(F.col("vec_id") != 0).select("vec_id", F.col("embedding").alias("a"))
     ac = base.crossJoin(F.broadcast(piv)).withColumn("cp", F.expr(cos_ap))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cp"), F.asc("pivot_id"))
-    assigned = (
-        ac.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "a", F.col("pivot_id").alias("cell"))
+    # argmax via max_by with a (cp, -pivot_id) sort key: partial-aggregates
+    # map-side, so the shuffle carries ONE row per vector — a row_number
+    # window here would shuffle all K pivot-copies of every embedding
+    assigned = ac.groupBy("vec_id").agg(
+        F.expr("max_by(pivot_id, struct(cp, -pivot_id))").alias("cell"),
+        F.first("a").alias("a"),
     )
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("a"))
     probes = (
