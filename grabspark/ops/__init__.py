@@ -14,9 +14,9 @@ surrogates) or rounded on both sides; LIMIT/top-k is only used with a
 total deterministic ordering.
 """
 
-from . import dedup, multimodal, relational, similarity, table_ops, textstats
+from . import dedup, images, multimodal, relational, similarity, table_ops, textstats
 
-_MODULES = (relational, dedup, similarity, textstats, table_ops, multimodal)
+_MODULES = (relational, dedup, similarity, textstats, table_ops, multimodal, images)
 
 
 def all_queries():

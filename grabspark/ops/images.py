@@ -1,0 +1,226 @@
+"""Image-corpus training-data ops (the graft's image axis).
+
+The reference stores every fetched page verbatim and never inspects the
+payload (/root/reference/functions/main_functions.go:60-74); these ops
+extend that store to the 100 TB image-corpus pipeline the north rule
+targets:
+
+* ``image_phash_near_dup`` — perceptual near-duplicate pairs across
+  codec re-encodes: decode -> 64-bit DCT pHash (Arrow ``mapInPandas``
+  kernel) -> banded 16-bit LSH bucket join -> exact hamming verify.
+  Candidate generation is a bucket equi-join, never all-pairs — the same
+  banding shape as ``dedup.simhash64_near_dup`` (4 bands of 16 bits give
+  guaranteed recall at hamming <= 3 by pigeonhole), so the 100 TB cost
+  is one signature pass + one equi-join on (band, bucket).
+* ``image_features`` — decode -> deterministic 8x8 area-average resize
+  -> scalar features (mean luminance, contrast, edge energy).  The
+  decode/resize/feature kernel is the thumbnail/feature-extract plumbing
+  a multimodal training pipeline runs per image; Arrow-batched, one pass,
+  no shuffle.
+
+Both are graded value-for-value against committed golden parquet written
+by ``tests/make_golden.py`` WITHOUT Spark: a pure-python loop over the
+same deterministic corpus, with the near-dup golden using ALL-PAIRS
+hamming (a genuinely different algorithm than the banded join — the
+oracle proves the LSH path loses no pair within the threshold).
+
+The corpus is the deterministic synthetic store (FIXTURES.md §1) plus,
+for every third image, a re-encode of its decoded pixels in the OTHER
+codec — the classic re-compressed duplicate a crawl sees (same perceptual
+content, different bytes and fmt).  No external data.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import imaging, synth
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_GOLDEN = os.path.join(_REPO, "tests", "golden")
+
+# every 3rd image gets a re-encoded twin (16 twins over the 48-image corpus)
+VARIANT_EVERY = 3
+_BANDS = 4
+_BAND_BITS = 16
+HAM_MAX = 3  # 4 bands x 16 bits: recall 1.0 at hamming <= 3 (pigeonhole)
+
+
+def corpus_spec() -> synth.StoreSpec:
+    """Same spec as the image_validation corpus (48 images, 2 codecs)."""
+    return synth.StoreSpec(n_hosts=4, pages_per_host=12, seed=1234)
+
+
+def build_image_corpus(spec: synth.StoreSpec | None = None) -> pd.DataFrame:
+    """Deterministic image corpus: store images + re-encoded twins.
+
+    Shared by the Spark queries and the golden generator so both sides
+    see identical bytes; columns (image_id, bytes, w, h, fmt).
+    """
+    spec = spec or corpus_spec()
+    store = synth.build_store(spec)
+    rows = []
+    for i, r in enumerate(store.pdf.itertuples(index=False)):
+        w, h = int(r.w), int(r.h)
+        rows.append((r.image_id, r.bytes, w, h, r.fmt))
+        if i % VARIANT_EVERY == 0:
+            other = "qraw" if r.fmt == "raw" else "raw"
+            px = imaging.decode_image(r.bytes, w, h, r.fmt)
+            rows.append((r.image_id + "#requant", imaging.encode_image(px, other), w, h, other))
+    return pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
+
+
+def _corpus_df(spark: SparkSession) -> DataFrame:
+    """Corpus as a parquet-backed DataFrame (binary column scan path)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(tempfile.mkdtemp(prefix="grabspark-imgcorpus-"), "corpus.parquet")
+    pdf = build_image_corpus()
+    schema = pa.schema(
+        [
+            ("image_id", pa.string()),
+            ("bytes", pa.binary()),
+            ("w", pa.int32()),
+            ("h", pa.int32()),
+            ("fmt", pa.string()),
+        ]
+    )
+    pq.write_table(pa.Table.from_pandas(pdf, schema=schema, preserve_index=False), path)
+    return spark.read.parquet(path)
+
+
+# --- signatures -------------------------------------------------------------
+
+_SIG_SCHEMA = "image_id string, sig string"
+
+
+def phash_signatures(images: DataFrame) -> DataFrame:
+    """64-bit pHash per image as a 64-char bit string (Arrow-batched;
+    string signature avoids pandas int64->float64 null coercion and
+    feeds the same substring banding used by simhash64)."""
+
+    def kernel(it):
+        for pdf in it:
+            sigs = [
+                format(
+                    imaging.phash64(
+                        imaging.decode_image(r.bytes, int(r.w), int(r.h), r.fmt)
+                    )
+                    & ((1 << 64) - 1),
+                    "064b",
+                )
+                for r in pdf.itertuples(index=False)
+            ]
+            yield pd.DataFrame({"image_id": pdf["image_id"].to_numpy(), "sig": sigs})
+
+    return images.mapInPandas(kernel, _SIG_SCHEMA)
+
+
+def image_phash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Banded pHash near-dup pairs: candidates share one exact 16-bit
+    band of the 64-bit signature; verified hamming <= 3."""
+    sig = phash_signatures(_corpus_df(spark))
+    allb = sig.select(
+        "image_id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[F.substring("sig", b * _BAND_BITS + 1, _BAND_BITS) for b in range(_BANDS)]
+            )
+        ).alias("band", "bucket"),
+    )
+    a, b2 = allb.alias("a"), allb.alias("b")
+    cand = (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.image_id") < F.col("b.image_id")),
+        )
+        .select(
+            F.col("a.image_id").alias("img_a"),
+            F.col("b.image_id").alias("img_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    ham = (
+        "size(filter(sequence(1, 64), "
+        "i -> substring(sig_a, i, 1) != substring(sig_b, i, 1)))"
+    )
+    return (
+        cand.withColumn("hamming", F.expr(ham).cast("int"))
+        .filter(F.col("hamming") <= HAM_MAX)
+        .select("img_a", "img_b", "hamming")
+    )
+
+
+# --- features ---------------------------------------------------------------
+
+_FEAT_N = 8
+_FEAT_SCHEMA = (
+    "image_id string, fmt string, w int, h int, "
+    "mean_luma double, contrast double, edge_energy double"
+)
+
+
+def image_feature_kernel(px: np.ndarray) -> tuple[float, float, float]:
+    """Features of one image: decode side already done; resize to 8x8
+    grayscale then mean / std / mean|horizontal diff|.  Pure numpy so the
+    golden generator reuses it verbatim (bit-identical doubles)."""
+    gray = px.astype(np.float64).mean(axis=2)
+    small = imaging._area_resize(gray, _FEAT_N)
+    return (
+        round(float(small.mean()), 4),
+        round(float(small.std()), 4),
+        round(float(np.abs(np.diff(small, axis=1)).mean()), 4),
+    )
+
+
+def image_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Decode -> 8x8 area resize -> scalar features, one Arrow pass."""
+
+    def kernel(it):
+        for pdf in it:
+            feats = [
+                image_feature_kernel(
+                    imaging.decode_image(r.bytes, int(r.w), int(r.h), r.fmt)
+                )
+                for r in pdf.itertuples(index=False)
+            ]
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"].to_numpy(),
+                    "fmt": pdf["fmt"].to_numpy(),
+                    "w": pdf["w"].to_numpy(),
+                    "h": pdf["h"].to_numpy(),
+                    "mean_luma": [f[0] for f in feats],
+                    "contrast": [f[1] for f in feats],
+                    "edge_energy": [f[2] for f in feats],
+                }
+            )
+
+    return _corpus_df(spark).mapInPandas(kernel, _FEAT_SCHEMA)
+
+
+QUERIES = {
+    "image_phash_near_dup": image_phash_near_dup,
+    "image_features": image_features,
+}
+
+ORACLES = {
+    "image_phash_near_dup": (
+        f"SELECT * FROM read_parquet('{os.path.join(_GOLDEN, 'image_phash_near_dup.parquet')}')"
+    ),
+    "image_features": (
+        f"SELECT * FROM read_parquet('{os.path.join(_GOLDEN, 'image_features.parquet')}')"
+    ),
+}

@@ -127,6 +127,55 @@ def build_imgval_golden() -> pd.DataFrame:
     return pdf
 
 
+def build_image_neardup_golden() -> pd.DataFrame:
+    """ALL-PAIRS hamming over the shared image corpus — a different
+    algorithm than the Spark banded-LSH join, so the golden proves the
+    banding loses no pair within the threshold (guaranteed at <= 3 by
+    the 4x16 pigeonhole)."""
+    from grabspark import imaging
+    from grabspark.ops import images as im
+
+    pdf = im.build_image_corpus()
+    sigs = [
+        (
+            r.image_id,
+            imaging.phash64(imaging.decode_image(r.bytes, int(r.w), int(r.h), r.fmt)),
+        )
+        for r in pdf.itertuples(index=False)
+    ]
+    rows = []
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            a, b = sorted((sigs[i], sigs[j]))
+            d = imaging.hamming64(a[1], b[1])
+            if d <= im.HAM_MAX:
+                rows.append((a[0], b[0], d))
+    out = pd.DataFrame(rows, columns=["img_a", "img_b", "hamming"])
+    out["hamming"] = out["hamming"].astype("int32")
+    return out
+
+
+def build_image_features_golden() -> pd.DataFrame:
+    """Per-image features via the same pure-numpy kernel in a plain loop
+    (no Spark) — decode -> 8x8 area resize -> mean/contrast/edge."""
+    from grabspark import imaging
+    from grabspark.ops import images as im
+
+    pdf = im.build_image_corpus()
+    rows = []
+    for r in pdf.itertuples(index=False):
+        px = imaging.decode_image(r.bytes, int(r.w), int(r.h), r.fmt)
+        ml, ct, ee = im.image_feature_kernel(px)
+        rows.append((r.image_id, r.fmt, int(r.w), int(r.h), ml, ct, ee))
+    out = pd.DataFrame(
+        rows,
+        columns=["image_id", "fmt", "w", "h", "mean_luma", "contrast", "edge_energy"],
+    )
+    out["w"] = out["w"].astype("int32")
+    out["h"] = out["h"].astype("int32")
+    return out
+
+
 def main(sf_dirs: list[str]) -> None:
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     for sf_dir in sf_dirs:
@@ -137,6 +186,14 @@ def main(sf_dirs: list[str]) -> None:
     iv = build_imgval_golden()
     iv.to_parquet(golden_imgval_path(), index=False)
     print(f"# wrote {golden_imgval_path()}: {len(iv)} rows")
+    for name, builder in (
+        ("image_phash_near_dup", build_image_neardup_golden),
+        ("image_features", build_image_features_golden),
+    ):
+        pdf = builder()
+        out = os.path.join(GOLDEN_DIR, f"{name}.parquet")
+        pdf.to_parquet(out, index=False)
+        print(f"# wrote {out}: {len(pdf)} rows")
 
 
 if __name__ == "__main__":
