@@ -27,6 +27,8 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # 4M default: a machine-sized round (a real 10^10 crawl's rounds are
 # huge, and larger batches amortize fixed per-round overhead honestly)
 FRONTIER_N = int(os.environ.get("SPARK_GRAFT_FRONTIER_N", "4000000"))
+# image-validation round size: 48x48 RGB -> ~6.9 KB/image, 120k ~ 830 MB
+IMAGES_N = int(os.environ.get("SPARK_GRAFT_IMAGES_N", "120000"))
 
 # headline subset: one per operator family, heavy enough to matter at sf0.1
 HEADLINE = [
@@ -60,6 +62,8 @@ HEADLINE = [
     "event_window_agg",
     "audio_features",
     "video_frame_sample",
+    "image_features",
+    "image_phash_near_dup",
 ]
 
 
@@ -139,9 +143,29 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    total = round(sum(timings.values()) + fr.elapsed_sec, 3)
+    # image-validation throughput (the graft's image axis): the north
+    # rule's per-row invariant (decoded-pixel allclose/PSNR + phash) as
+    # a rate.  Store generation is untimed; one warm-up, then best-of-2.
+    img_path = os.path.join(base, "img_store")
+    bench_core.synth_images_parquet(spark, IMAGES_N, img_path)
+    bench_core.run_image_round(spark, img_path)
+    ir = max(
+        (bench_core.run_image_round(spark, img_path) for _ in range(2)),
+        key=lambda r: r.images_per_sec,
+    )
+    assert ir.n_pixels_ok == ir.n_images and ir.n_phash_ok == ir.n_images, (
+        f"validation failed: {ir}"
+    )
+    print(
+        f"# image_round: {ir.n_images} images ({ir.n_bytes / 1e6:.0f} MB) in "
+        f"{ir.elapsed_sec:.2f}s = {ir.images_per_sec:,.0f} img/s "
+        f"({ir.mb_per_sec:,.0f} MB/s, min PSNR {ir.min_psnr_db:.1f} dB)",
+        file=sys.stderr,
+    )
+
+    total = round(sum(timings.values()) + fr.elapsed_sec + ir.elapsed_sec, 3)
     out = {
-        "metric": "headline_ops_total+frontier_round",
+        "metric": "headline_ops_total+frontier_round+image_round",
         "value": total,
         "unit": "sec",
         "queries": timings,
@@ -153,6 +177,15 @@ def main() -> None:
             "scheduled": fr.scheduled,
             "n_seen": fr.n_seen,
             "n_store": fr.n_store,
+            "cpus": int(CPUS),
+        },
+        "image_round": {
+            "n": ir.n_images,
+            "bytes": ir.n_bytes,
+            "elapsed_sec": round(ir.elapsed_sec, 3),
+            "images_per_sec": round(ir.images_per_sec),
+            "mb_per_sec": round(ir.mb_per_sec, 1),
+            "min_psnr_db": round(ir.min_psnr_db, 2),
             "cpus": int(CPUS),
         },
     }

@@ -124,7 +124,8 @@ def synth_seen(spark: SparkSession, n: int, n_frontier: int, n_hosts: int, path:
 def synth_store_df(spark: SparkSession, n: int, n_frontier: int, n_hosts: int) -> DataFrame:
     """Page store covering lattice keys [0, n) (n ~ 0.5*n_frontier for a
     ~70% hit rate); metadata payload only — the scheduling metric joins,
-    full decode is benchmarked separately."""
+    full decode/validation is benchmarked separately by
+    ``run_image_round`` below."""
     st = _stride(n_frontier)
     return (
         spark.range(n)
@@ -319,4 +320,142 @@ def run_frontier_round(
         scheduled=n_sched,
         elapsed_sec=elapsed,
         urls_per_sec=n_frontier / elapsed if elapsed > 0 else float("inf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Image-validation throughput (the graft's image axis)
+#
+# The north rule requires EVERY fetched image validated against the
+# reference: decoded-pixel allclose (PSNR >= 40 dB lossy) + phash check.
+# This round measures that per-row invariant as a throughput number:
+# parquet scan of an input_hint-shaped store -> Arrow mapInPandas
+# decode/PSNR/phash kernel (udfs.validate_images — the SAME kernel the
+# engine's fetch stage runs) -> aggregate.  Embarrassingly parallel by
+# construction (no shuffle until the final partial agg), so it also
+# evidences near-linear N->4N scaling for the payload pipeline.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ImageBenchResult:
+    n_images: int
+    n_bytes: int
+    elapsed_sec: float
+    images_per_sec: float
+    mb_per_sec: float
+    n_pixels_ok: int
+    n_phash_ok: int
+    min_psnr_db: float
+
+
+def synth_images_parquet(
+    spark: SparkSession,
+    n_images: int,
+    path: str,
+    w: int = 48,
+    h: int = 48,
+    n_hosts: int = 256,
+    n_files: int = 64,
+) -> str:
+    """Materialize a deterministic image+caption store parquet with the
+    exact input_hint schema (image_id, bytes, w, h, fmt, caption, phash).
+
+    Generation is executor-side (spark.range -> mapInPandas; no driver
+    data) and deliberately NOT part of the timed round — the timed pass
+    reads the parquet back, as a real pipeline reads a fetched store.
+    Pixels come from imaging.pixels_from_id so the validator can
+    recompute them independently; fmt alternates raw/qraw so both codec
+    paths are exercised; phash is computed on the DECODED bytes (store
+    contract), so phash_ok must hold for qraw too."""
+    from . import imaging
+
+    schema = (
+        "image_id string, bytes binary, w int, h int, "
+        "fmt string, caption string, phash long"
+    )
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            n = len(ids)
+            out = {
+                "image_id": [None] * n, "bytes": [None] * n,
+                "w": [w] * n, "h": [h] * n, "fmt": [None] * n,
+                "caption": [None] * n, "phash": [None] * n,
+            }
+            for i, k in enumerate(ids):
+                k = int(k)
+                image_id = f"http://h{k % n_hosts}.test/img/{k}"
+                fmt = "raw" if k % 2 == 0 else "qraw"
+                px = imaging.pixels_from_id(image_id, w, h)
+                data = imaging.encode_image(px, fmt)
+                out["image_id"][i] = image_id
+                out["bytes"][i] = data
+                out["fmt"][i] = fmt
+                out["caption"][i] = (
+                    f"Title: image {k}\nsynthetic caption for page {k} "
+                    f'<a href="http://h{(k + 1) % n_hosts}.test/img/{k + 1}">next</a>'
+                )
+                out["phash"][i] = imaging.phash64(imaging.decode_image(data, w, h, fmt))
+            pdf_out = pd.DataFrame(out)
+            pdf_out["phash"] = pdf_out["phash"].astype("object")  # no float64 coercion
+            yield pdf_out
+
+    (
+        spark.range(n_images)
+        .repartition(n_files)
+        .mapInPandas(gen, schema)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
+def run_image_round(spark: SparkSession, path: str) -> ImageBenchResult:
+    """One timed validation pass: scan -> decode/PSNR/phash -> aggregate."""
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    df = spark.read.parquet(path)
+    t0 = time.time()
+    j = df.withColumn("phash_str", F.col("phash").cast("string")).drop("phash")
+    cols = ["image_id", "fmt", "psnr_db", "pixels_ok", "phash_ok", "bytes_len"]
+    out_schema = StructType(
+        [
+            StructField("image_id", StringType()),
+            StructField("fmt", StringType()),
+            StructField("psnr_db", DoubleType()),
+            StructField("pixels_ok", BooleanType()),
+            StructField("phash_ok", BooleanType()),
+            StructField("bytes_len", IntegerType()),
+        ]
+    )
+    validated = j.mapInPandas(lambda it: udfs.validate_images(it, cols), schema=out_schema)
+    row = validated.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("pixels_ok").cast("long")).alias("n_px"),
+        F.sum(F.col("phash_ok").cast("long")).alias("n_ph"),
+        F.min("psnr_db").alias("min_psnr"),
+        F.sum("bytes_len").alias("n_bytes"),
+    ).first()
+    elapsed = time.time() - t0
+    n = int(row["n"])
+    n_bytes = int(row["n_bytes"] or 0)
+    return ImageBenchResult(
+        n_images=n,
+        n_bytes=n_bytes,
+        elapsed_sec=elapsed,
+        images_per_sec=n / elapsed if elapsed > 0 else float("inf"),
+        mb_per_sec=n_bytes / 1e6 / elapsed if elapsed > 0 else float("inf"),
+        n_pixels_ok=int(row["n_px"] or 0),
+        n_phash_ok=int(row["n_ph"] or 0),
+        min_psnr_db=float(row["min_psnr"]) if row["min_psnr"] is not None else float("nan"),
     )
