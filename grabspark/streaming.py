@@ -16,6 +16,9 @@ engine exposes its tables as streams:
 * ``host_rate_monitor`` — stateful per-host fetch-rate tracking with
   ``applyInPandasWithState`` (politeness enforcement as a streaming
   operator: emits hosts whose rate exceeds their crawl-delay budget).
+* ``stream_validate_images`` — incremental X4/X5 image validation: new
+  store parquet files arrive as micro-batches and flow through the SAME
+  Arrow validate kernel the batch engine uses (udfs.validate_images).
 """
 
 from __future__ import annotations
@@ -27,6 +30,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -169,3 +174,58 @@ def host_rate_monitor(trace_stream: DataFrame, budget_per_sec: float) -> DataFra
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming image validation (the image axis as a stream)
+#
+# A crawl's fetched store grows file-by-file; validating ONLY the new
+# files per micro-batch is the streaming form of the engine's X4/X5
+# fetch-time validation.  The kernel is the same udfs.validate_images
+# the batch engine runs — mapInPandas composes with readStream, so the
+# whole validation pipeline is incremental with zero code divergence
+# between batch and streaming.
+# ---------------------------------------------------------------------------
+
+STORE_STREAM_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("bytes", BinaryType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("fmt", StringType()),
+        StructField("caption", StringType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+VALIDATION_STREAM_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("fmt", StringType()),
+        StructField("psnr_db", DoubleType()),
+        StructField("pixels_ok", BooleanType()),
+        StructField("phash_ok", BooleanType()),
+        StructField("bytes_len", IntegerType()),
+    ]
+)
+
+
+def read_store_stream(spark: SparkSession, store_dir: str, max_files: int = 8) -> DataFrame:
+    """File-source stream over an image+caption store directory (each
+    fetched/committed parquet file arrives as part of a micro-batch)."""
+    return (
+        spark.readStream.schema(STORE_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(store_dir)
+    )
+
+
+def stream_validate_images(store_stream: DataFrame) -> DataFrame:
+    """Per-image validation rows (append-mode compatible: no aggregate)
+    via the engine's batch kernel — decode, PSNR/allclose, phash."""
+    from . import udfs
+
+    cols = [f.name for f in VALIDATION_STREAM_SCHEMA.fields]
+    j = store_stream.withColumn("phash_str", F.col("phash").cast("string")).drop("phash")
+    return j.mapInPandas(lambda it: udfs.validate_images(it, cols), schema=VALIDATION_STREAM_SCHEMA)

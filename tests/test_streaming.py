@@ -117,3 +117,54 @@ def test_stateful_rate_monitor(spark, trace_dir, tmp_path):
     assert rows["b.test"].fetches == 3
     # a.test: 5 fetches over 4s span = 1.25/s > 0.5 budget
     assert rows["a.test"].over_budget == "True"
+
+
+def test_stream_image_validation(spark, tmp_path):
+    """New store parquet files arrive as micro-batches; every image must
+    flow through the batch validate kernel and pass (plus one corrupted
+    image that must be caught)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from grabspark import bench_core
+
+    store_dir = str(tmp_path / "imgstream")
+    os.makedirs(store_dir)
+    # batch 1: 24 clean images (written via the bench generator for the
+    # exact input_hint schema), as one file
+    tmp1 = str(tmp_path / "gen1")
+    bench_core.synth_images_parquet(spark, 24, tmp1, n_files=1)
+    t1 = pq.read_table(tmp1)
+    pq.write_table(t1, os.path.join(store_dir, "b1.parquet"))
+    # batch 2: 8 more, one corrupted (raw fmt -> pixels_ok must be False)
+    tmp2 = str(tmp_path / "gen2")
+    bench_core.synth_images_parquet(spark, 8, tmp2, n_files=1)
+    pdf2 = pq.read_table(tmp2).to_pandas()
+    raw_idx = pdf2.index[pdf2["fmt"] == "raw"][0]
+    b = bytearray(pdf2.loc[raw_idx, "bytes"])
+    b[0] ^= 0xFF
+    pdf2.loc[raw_idx, "bytes"] = bytes(b)
+    pq.write_table(
+        pa.Table.from_pandas(pdf2, schema=pq.read_table(tmp2).schema, preserve_index=False),
+        os.path.join(store_dir, "b2.parquet"),
+    )
+
+    stream = streaming.read_store_stream(spark, store_dir, max_files=1)
+    assert stream.isStreaming
+    validated = streaming.stream_validate_images(stream)
+    q = (
+        validated.writeStream.format("memory")
+        .queryName("imgval_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM imgval_stream").toPandas()
+    assert len(out) == 32
+    assert int(out["pixels_ok"].sum()) == 31  # the corrupted one caught
+    bad = out[~out["pixels_ok"]]
+    assert list(bad["fmt"]) == ["raw"]
+    # qraw images must still clear the lossy PSNR bar
+    assert (out[out["fmt"] == "qraw"]["psnr_db"] >= 40.0).all()
