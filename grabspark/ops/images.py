@@ -125,7 +125,15 @@ def phash_signatures(images: DataFrame) -> DataFrame:
 
 def image_phash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     """Banded pHash near-dup pairs: candidates share one exact 16-bit
-    band of the 64-bit signature; verified hamming <= 3."""
+    band of the 64-bit signature; verified hamming <= 3.
+
+    The banded signature frame is persisted before the self-join:
+    exchange reuse does not fire across the Python decode kernel, so an
+    unpersisted self-join would decode + hash EVERY image twice (plan-
+    verified in tests).  Signatures are ~100 B/image vs KB-MB of pixels
+    — materializing them is the standard LSH shape (at full scale they
+    would be written to a signatures table; persist is the in-memory
+    equivalent)."""
     sig = phash_signatures(_corpus_df(spark))
     allb = sig.select(
         "image_id",
@@ -135,7 +143,7 @@ def image_phash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
                 *[F.substring("sig", b * _BAND_BITS + 1, _BAND_BITS) for b in range(_BANDS)]
             )
         ).alias("band", "bucket"),
-    )
+    ).persist()
     a, b2 = allb.alias("a"), allb.alias("b")
     cand = (
         a.join(

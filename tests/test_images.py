@@ -54,3 +54,20 @@ def test_near_dup_plan_is_bucketed_not_allpairs(spark):
     p = plan(im.image_phash_near_dup(spark, "unused"))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_near_dup_decodes_each_image_once(spark):
+    """The banded self-join must consume the persisted signature frame:
+    exactly one Python decode/hash kernel in the executed plan (an
+    unpersisted self-join runs it once per side — every image decoded
+    twice)."""
+    import re
+
+    df = im.image_phash_near_dup(spark, "unused")
+    df.collect()
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    n_kernels = len(re.findall(r"\(\d+\) MapInPandas", p))
+    assert n_kernels <= 1, f"decode kernel appears {n_kernels}x in executed plan"
+    assert "InMemoryTableScan" in p or "TableCacheQueryStage" in p
