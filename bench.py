@@ -56,6 +56,7 @@ HEADLINE = [
     "upsert_merge",
     "ttl_delete",
     "bloom_partitioned_antijoin",
+    "cuckoo_ttl_antijoin",
     "text_cleanup",
     "quality_score",
     "winnow_fingerprints",

@@ -132,14 +132,85 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """
 
 
+# TTL cutoff for the cuckoo demo: customers whose LAST order predates it
+# are expired from the seen side (re-crawl candidates)
+_CUCKOO_CUTOFF = "2001-01-01 00:00:00"
+
+
+def cuckoo_ttl_antijoin(spark: SparkSession, sf: str) -> DataFrame:
+    """J2-alt (north rule "bloom/cuckoo"): the TTL re-crawl flow Bloom
+    cannot express.  Seen = customers with orders; customers whose last
+    order predates the TTL cutoff are DELETED from the cuckoo filter
+    (mirroring a seen-table delete_where), so they come back as
+    definitely-new without a rebuild.  Advisory-filter invariant: the
+    result must equal the exact anti-join against the live seen set —
+    "contains" rows still flow through it, deletion can only send rows
+    down the definitely-new fast path."""
+    import tempfile as _tf
+
+    from ..bloom import shard_of
+    from ..cuckoo import PartitionedCuckoo
+
+    import pandas as pd
+
+    c = T(spark, sf, "customer")
+    o = T(spark, sf, "orders")
+    seen_keys = o.select(F.col("o_custkey").cast("string").alias("_k")).distinct()
+    last_order = o.groupBy("o_custkey").agg(F.max("o_orderdate").alias("_last"))
+    expired_keys = last_order.filter(
+        F.col("_last") < F.lit(_CUCKOO_CUTOFF).cast("timestamp")
+    ).select(F.col("o_custkey").cast("string").alias("_k"))
+    live = last_order.filter(
+        F.col("_last") >= F.lit(_CUCKOO_CUTOFF).cast("timestamp")
+    ).select("o_custkey")
+
+    pc = PartitionedCuckoo(
+        _tf.mkdtemp(prefix="grabspark-pcuckoo-"), n_buckets=1 << 9, n_shards=8
+    )
+    pc.create()
+    pc.update(seen_keys, "_k")
+    pc.delete(expired_keys, "_k")
+
+    n_shards = pc.n_shards
+    shard_udf = F.pandas_udf(lambda sr: pd.Series(shard_of(sr, n_shards)), "long")
+    contains = pc.make_contains(spark)
+    tagged = (
+        c.withColumn("_ck", F.col("c_custkey").cast("string"))
+        .withColumn("_shard", shard_udf(F.col("_ck")))
+        .repartition(n_shards, "_shard")  # probe co-partitioned with the shards
+        .withColumn("_maybe", contains(F.col("_ck")))
+        .drop("_ck", "_shard")
+    )
+    sure_new = tagged.filter(~F.col("_maybe")).drop("_maybe")
+    maybe = tagged.filter(F.col("_maybe")).drop("_maybe")
+    out = sure_new.unionByName(
+        maybe.join(live, maybe.c_custkey == live.o_custkey, "left_anti")
+    )
+    return out.select("c_custkey", "c_name", "c_mktsegment")
+
+
+_CUCKOO_SQL = f"""
+WITH live AS (
+  SELECT o_custkey FROM orders
+  GROUP BY o_custkey
+  HAVING max(o_orderdate) >= TIMESTAMP '{_CUCKOO_CUTOFF}'
+)
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM live WHERE o_custkey = c_custkey)
+"""
+
+
 QUERIES = {
     "upsert_merge": upsert_merge,
     "ttl_delete": ttl_delete,
     "bloom_partitioned_antijoin": bloom_partitioned_antijoin,
+    "cuckoo_ttl_antijoin": cuckoo_ttl_antijoin,
 }
 
 ORACLES = {
     "upsert_merge": _UPSERT_SQL,
     "ttl_delete": _TTL_SQL,
     "bloom_partitioned_antijoin": _ANTI_SQL,
+    "cuckoo_ttl_antijoin": _CUCKOO_SQL,
 }
