@@ -20,7 +20,9 @@ class BloomConfig:
     # co-partitioned with the key space — build, merge, and probe all run
     # executor-side on single shards; the scale mode for 10^10 keys where
     # the filter is ~12 GB and must never sit on one node (bloom.py
-    # PartitionedBloom).
+    # PartitionedBloom).  "cuckoo": same sharded/manifested layout but a
+    # cuckoo filter (cuckoo.PartitionedCuckoo) — supports per-key DELETE
+    # for TTL re-crawl (n_bits is reinterpreted as a 16-bit-slot budget).
     mode: str = "broadcast"
 
 

@@ -335,6 +335,22 @@ class PartitionedCuckoo:
         contains._bc = bc
         return contains
 
+    # drop-in for PartitionedBloom in bloom.partitioned_prefilter and the
+    # engine's prefilter slot (identical create/rollback/update/probe
+    # surface — the filters interchange behind BloomConfig.mode)
+    make_might_contain = make_contains
+
+    @classmethod
+    def sized_for_bits(cls, dirpath: str, n_bits: int, n_shards: int) -> "PartitionedCuckoo":
+        """Size from a BloomConfig-style bit budget: 16-bit slots, so
+        n_bits/16 total slots, rounded up to power-of-two buckets per
+        shard (target load stays under ~0.95 when keys ~ n_bits/9.6·0.6
+        — comfortably below slot capacity for any Bloom-sized budget)."""
+        slots = max(n_bits // 16, BUCKET_SIZE * n_shards)
+        per_shard_buckets = max(-(-slots // (BUCKET_SIZE * n_shards)), 1)
+        n_buckets = 1 << (per_shard_buckets - 1).bit_length()
+        return cls(dirpath, n_buckets=n_buckets, n_shards=n_shards)
+
     def load_factor(self) -> float:
         used = total = 0
         for path in self.shard_files().values():

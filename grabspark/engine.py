@@ -88,7 +88,10 @@ class CrawlEngine:
             spark.read.parquet(cfg.robots_path) if cfg.robots_path else None
         )
         self.bloom: ShardedBloom | None = None
-        self.pbloom = None  # PartitionedBloom (mode == "partitioned")
+        # partitioned seen filter (mode "partitioned" -> PartitionedBloom,
+        # mode "cuckoo" -> PartitionedCuckoo): identical create/rollback/
+        # update/probe surface, so every engine path below is shared
+        self.pbloom = None
         if cfg.bloom.enabled:
             if cfg.bloom.mode == "partitioned":
                 from .bloom import PartitionedBloom
@@ -98,6 +101,14 @@ class CrawlEngine:
                     cfg.bloom.n_bits,
                     cfg.bloom.n_hashes,
                     cfg.bloom.n_shards,
+                )
+            elif cfg.bloom.mode == "cuckoo":
+                from .cuckoo import PartitionedCuckoo
+
+                # deletable seen filter: per-round inserts are globally
+                # unique keys (post-anti-join), the cuckoo precondition
+                self.pbloom = PartitionedCuckoo.sized_for_bits(
+                    os.path.join(rd, "cuckoo"), cfg.bloom.n_bits, cfg.bloom.n_shards
                 )
             else:
                 self.bloom = ShardedBloom(

@@ -142,6 +142,27 @@ def test_bloom_partitioned_same_result(spark, crawl_setup):
     assert eng.pbloom is not None and len(eng.pbloom.shard_files()) > 0
 
 
+def test_bloom_cuckoo_same_result(spark, crawl_setup):
+    """J2-alt cuckoo mode (BloomConfig mode='cuckoo'): the deletable
+    filter must leave the [REF-EXACT] trace untouched (advisory-filter
+    invariant), with shard files on disk like the partitioned Bloom."""
+    spec, store, store_path, seeds, golden, base = crawl_setup
+    eng = run_engine(
+        spark,
+        store_path,
+        seeds,
+        base / "run_cuckoo",
+        bloom=BloomConfig(enabled=True, mode="cuckoo", n_bits=1 << 16, n_shards=8),
+    )
+    got = engine_trace_rows(eng)
+    assert got == [tuple(t) for t in golden.trace]
+    from grabspark.cuckoo import PartitionedCuckoo
+
+    assert isinstance(eng.pbloom, PartitionedCuckoo)
+    assert len(eng.pbloom.shard_files()) > 0
+    assert 0 < eng.pbloom.load_factor() < 0.95
+
+
 def test_torn_round_resume_exact(spark, crawl_setup):
     """CK1 crash safety e2e: interrupt AFTER side-table writes but BEFORE
     the frontier commit (the torn-round shape the commit protocol
