@@ -147,6 +147,74 @@ class CrawlEngine:
         )
         return self.run()
 
+    def expire_and_recrawl(self, predicate) -> CrawlSummary:
+        """TTL re-crawl (≙ the reference's scheduled DELETE,
+        /root/reference/database/migration.sql:14-17, applied to the seen
+        side): seen rows matching ``predicate`` leave the seen table AND
+        the seen filter, their URLs re-enter the frontier in original
+        fetch order, and the crawl continues — links they re-extract
+        flow through the normal anti-join, so still-seen children are
+        not re-fetched.
+
+        Filter maintenance: cuckoo mode (BloomConfig mode="cuckoo")
+        deletes per-key — the capability that mode exists for; broadcast
+        Bloom rebuilds from the remaining rows (the rebuild cost is why
+        cuckoo is the TTL mode); partitioned Bloom can neither delete
+        nor cheaply rebuild in place -> ValueError directing to cuckoo.
+        """
+        from . import udfs
+        from .cuckoo import PartitionedCuckoo
+
+        meta = dict(self.frontier.meta() or {})
+        if not meta:
+            raise ValueError("nothing to recrawl: no committed crawl state")
+        cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+        expired = (
+            self.seen.read().filter(cond).select("seed_idx", "url_canon", "first_seq").persist()
+        )
+        n_exp = expired.count()
+        if n_exp == 0:
+            expired.unpersist()
+            return self.run()
+        seen_v = self.seen.delete_where(cond)
+        bloom_v = int(meta["bloom_v"])
+        if isinstance(self.pbloom, PartitionedCuckoo):
+            bloom_v = self.pbloom.delete(
+                expired.withColumn("_bk", self._bloom_key()), "_bk"
+            )
+        elif self.pbloom is not None:
+            raise ValueError(
+                "partitioned Bloom cannot delete keys; use "
+                "BloomConfig(mode='cuckoo') for TTL re-crawl"
+            )
+        elif self.bloom is not None:
+            fresh = ShardedBloom(self.bloom.n_bits, self.bloom.n_hashes, self.bloom.n_shards)
+            partials = build_partials(
+                self.seen.read(seen_v).withColumn("_bk", self._bloom_key()),
+                "_bk", fresh.n_bits, fresh.n_hashes, fresh.n_shards,
+            ).collect()
+            merge_partials_into(fresh, partials)
+            bloom_v += 1
+            fresh.save(self._bloom_dir(bloom_v))
+            self.bloom = fresh
+        rnd = int(meta["round"])
+        rows = (
+            expired.withColumn("_p", udfs.url_parts_udf(F.col("url_canon")))
+            .select(
+                F.col("seed_idx").cast("int"),
+                F.col("url_canon").alias("url"),  # canon is idempotent
+                "url_canon",
+                F.col("_p.host").alias("host"),
+                # original fetch order is the re-crawl priority order
+                F.col("first_seq").cast("long").alias("parent_seq"),
+                F.lit(0).cast("int").alias("link_idx"),
+                F.lit(rnd).cast("int").alias("birth_round"),
+            )
+        )
+        self.frontier.overwrite(rows, meta={**meta, "seen_v": seen_v, "bloom_v": bloom_v})
+        expired.unpersist()
+        return self.run()
+
     def resume(self) -> CrawlSummary:
         """Exact resume from the latest committed round (CK1)."""
         meta = self.frontier.meta()

@@ -356,3 +356,45 @@ def test_engine_oracle_equivalence_shapes(spark, tmp_path, shape):
         for r in eng.seen_df().select("seed_idx", "url_canon").collect()
     }
     assert got_seen == golden.seen
+
+
+def test_expire_and_recrawl_cuckoo(spark, crawl_setup):
+    """TTL re-crawl through the deletable cuckoo filter: expired URLs
+    are re-fetched exactly once, in original fetch order; still-seen
+    URLs (including links re-extracted from re-fetched pages) are not;
+    the seen table ends fully repopulated."""
+    spec, store, store_path, seeds, golden, base = crawl_setup
+    eng = run_engine(
+        spark,
+        store_path,
+        seeds,
+        base / "run_ttl",
+        bloom=BloomConfig(enabled=True, mode="cuckoo", n_bits=1 << 16, n_shards=8),
+    )
+    trace_before = engine_trace_rows(eng)
+    seen_before = {
+        (r.seed_idx, r.url_canon) for r in eng.seen.read().collect()
+    }
+    # expire one host's URLs for seed 0
+    host = trace_before[0][4]
+    pred = (F.col("seed_idx") == 0) & F.col("url_canon").contains(f"//{host}/")
+    expired = sorted(
+        (r.first_seq, r.url_canon)
+        for r in eng.seen.read().filter(pred).collect()
+    )
+    assert len(expired) > 1
+    eng.expire_and_recrawl(pred)
+
+    trace_after = engine_trace_rows(eng)
+    # re-fetched rows: seed 0 with fetch_seq past the old per-seed max
+    # (the trace is ordered by (seed_idx, fetch_seq), so the new seed-0
+    # rows are interleaved after the old seed-0 block, not at the tail)
+    old_max = max(q for (s, q, *_r) in trace_before if s == 0)
+    new_rows = [r for r in trace_after if r[0] == 0 and r[1] > old_max]
+    # every expired URL re-fetched exactly once, in original order
+    assert [r[3] for r in new_rows] == [u for _seq, u in expired]
+    assert len(new_rows) == len(expired)
+    # seen table fully repopulated, nothing else double-fetched
+    seen_after = {(r.seed_idx, r.url_canon) for r in eng.seen.read().collect()}
+    assert seen_after == seen_before
+    assert len(trace_after) == len(trace_before) + len(expired)
