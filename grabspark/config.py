@@ -46,3 +46,10 @@ class EngineConfig:
     seq_partitions: int = 32
     broadcast_store: bool = False  # hint the store side of the fetch join
     max_rounds: int | None = None
+    # every k rounds, compact the trace/seen/metrics snapshot tables
+    # (Iceberg rewrite_data_files-shaped).  A crawl appends one small
+    # file batch per table per round; at 10^10-frontier scale that is
+    # thousands of files whose open/footer cost dominates the per-round
+    # anti-join read.  Compaction commits are ordinary snapshots, so
+    # exact resume across them is unchanged.  None = never.
+    compact_every: int | None = None

@@ -387,6 +387,15 @@ class CrawlEngine:
         next_frontier = links if deferred is None else deferred.unionByName(links)
         next_frontier = next_frontier.select(*[f.name for f in FRONTIER_SCHEMA.fields])
 
+        if cfg.compact_every is not None and (rnd + 1) % cfg.compact_every == 0:
+            # small-file control (Iceberg rewrite_data_files): one
+            # compaction commit per side table, recorded in the same
+            # round meta the resume path rolls back to — old manifests
+            # stay valid across the rewrite, so CK1 is unchanged
+            trace_v = self.trace.compact()
+            seen_v = self.seen.compact()
+            metrics_v = self.metrics.compact()
+
         # CK1 atomic commit point
         self.frontier.overwrite(
             next_frontier,

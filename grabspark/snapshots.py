@@ -249,6 +249,43 @@ class SnapshotTable:
         m.update(meta or {})
         return self._commit(all_files, kept_rows + rows, m, parent, added=files, parts=all_parts)
 
+    def compact(self, target_file_bytes: int = 128 << 20, meta: dict | None = None) -> int:
+        """Iceberg ``rewrite_data_files``-shaped compaction: rewrite the
+        current live file set into ~``target_file_bytes`` files (one file
+        per bucket for a partitioned table) and commit the result as a
+        new snapshot.  A long crawl appends one small batch per round per
+        table — thousands of files at 10^10-frontier scale — and every
+        per-round read pays the open/footer cost per file; compaction
+        restores O(data) reads.
+
+        Old manifests still reference the old files (nothing is deleted),
+        so time-travel ``read(v)`` and ``rollback(v)`` across the
+        compaction boundary keep working — exact resume (CK1) is
+        unaffected.  ``read_delta`` of the compaction version returns the
+        whole rewritten set, so it is NOT a data delta; engine round
+        deltas are never compaction versions."""
+        parent = self.current_version()
+        prev = self.manifest(parent) if parent is not None else None
+        if prev is None or not prev["files"]:
+            return parent if parent is not None else self.overwrite(
+                self.spark.createDataFrame([], self.schema()), meta=meta
+            )
+        df = self.read(parent)
+        if self.partition_col is not None and self.partition_col in df.columns:
+            # one task per live bucket -> exactly one file per bucket
+            df = df.repartition(F.col(self.partition_col))
+        else:
+            total = sum(os.path.getsize(f) for f in prev["files"])
+            df = df.repartition(max(1, -(-total // target_file_bytes)))
+        files, rows, parts = self._write_batch(df)
+        m = dict(prev["meta"])
+        m.update(meta or {})
+        return self._commit(files, rows, m, parent, parts=parts)
+
+    def live_file_count(self, version: int | None = None) -> int:
+        m = self.manifest(version)
+        return 0 if m is None else len(m["files"])
+
     def delete_where(self, condition, meta: dict | None = None) -> int:
         """DELETE FROM ... WHERE condition (≙ the reference's token delete
         and the hourly TTL event, /root/reference/database/mysql.go:83-91,

@@ -398,3 +398,38 @@ def test_expire_and_recrawl_cuckoo(spark, crawl_setup):
     seen_after = {(r.seed_idx, r.url_canon) for r in eng.seen.read().collect()}
     assert seen_after == seen_before
     assert len(trace_after) == len(trace_before) + len(expired)
+
+
+def test_compact_every_trace_exact_and_fewer_files(spark, crawl_setup):
+    """compact_every: the crawl result is bit-identical to the golden
+    trace, the side tables end with far fewer live files, and exact
+    resume across a compaction boundary still works (torn-round shape)."""
+    spec, store, store_path, seeds, golden, base = crawl_setup
+    eng = run_engine(
+        spark, store_path, seeds, base / "run_cmp", compact_every=2
+    )
+    assert engine_trace_rows(eng) == [tuple(t) for t in golden.trace]
+    # a no-compaction run of the same crawl for the file-count baseline
+    ref = run_engine(spark, store_path, seeds, base / "run_cmp_ref")
+    assert eng.trace.live_file_count() < ref.trace.live_file_count()
+    assert eng.seen.live_file_count() < ref.seen.live_file_count()
+
+    # torn round on top of a compacted table, then resume
+    eng.trace.append(eng.trace.read().limit(3))
+    eng.seen.append(eng.seen.read().limit(2))
+    from grabspark.config import EngineConfig
+    from grabspark.engine import CrawlEngine
+
+    eng2 = CrawlEngine(
+        spark,
+        EngineConfig(
+            run_dir=str(base / "run_cmp"), store_path=store_path, compact_every=2
+        ),
+    )
+    eng2.resume()
+    assert engine_trace_rows(eng2) == [tuple(t) for t in golden.trace]
+    seen_got = {
+        (r.seed_idx, r.url_canon)
+        for r in eng2.seen_df().select("seed_idx", "url_canon").collect()
+    }
+    assert seen_got == golden.seen

@@ -216,3 +216,50 @@ def test_snapshot_delete_where(spark, tmp_path):
     # rollback restores the pre-delete snapshot (time travel)
     t.rollback(0)
     assert t.row_count() == 50
+
+
+def test_snapshot_compact_preserves_rows_and_history(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "cmp"))
+    df = lambda a, b: spark.range(a, b).select(F.col("id"))
+    v0 = t.overwrite(df(0, 100))
+    for i in range(1, 6):
+        t.append(df(i * 100, i * 100 + 100))
+    pre = t.manifest()
+    n_files_pre = t.live_file_count()
+    assert n_files_pre >= 6
+    vc = t.compact()
+    # same rows, far fewer files
+    assert t.row_count() == 600
+    assert sorted(r.id for r in t.read().collect()) == list(range(600))
+    assert t.live_file_count() < n_files_pre
+    # time travel: pre-compaction versions still read their own files
+    assert sorted(r.id for r in t.read(v0).collect()) == list(range(100))
+    assert t.manifest(pre["version"])["files"] == pre["files"]
+    # rollback across the compaction boundary
+    t.rollback(v0)
+    assert t.row_count() == 100
+    # appends after a rollback-over-compaction chain normally
+    t.append(df(1000, 1010))
+    assert t.row_count() == 110
+    # meta carried through the compaction commit
+    assert t.manifest(vc)["meta"] == pre["meta"]
+
+
+def test_snapshot_compact_bucketed_one_file_per_bucket(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "cmpb"), partition_col="bucket")
+    mk = lambda a, b: spark.range(a, b).select(
+        F.col("id"), (F.col("id") % 4).cast("int").alias("bucket")
+    )
+    t.overwrite(mk(0, 100))
+    for i in range(1, 5):
+        t.append(mk(i * 100, i * 100 + 100))
+    n_files_pre = t.live_file_count()
+    t.compact()
+    m = t.manifest()
+    # exactly one file per live bucket, all indexed in parts
+    assert len(m["files"]) == 4 < n_files_pre
+    assert sorted(set(m["parts"].values())) == [0, 1, 2, 3]
+    # bucket-pruned read still exact after the rewrite
+    got = sorted(r.id for r in t.read(bucket=2).collect())
+    assert got == [i for i in range(500) if i % 4 == 2]
+    assert len(t.files_for_bucket(2)) == 1
