@@ -361,21 +361,54 @@ def _simhash64_duck() -> str:
 """
 
 
+def _simhash64_long_df(spark: SparkSession, sf: str) -> DataFrame:
+    """Same 64 votes as ``_simhash64_df``, packed into ONE int64: bit j
+    set <=> string position j+1 is '1'.  The packed form matters for
+    the plan, not just width: the signature is a Project over the vote
+    aggregate, and Catalyst's project-collapsing inlines that defining
+    expression into every downstream use — the 64-CASE string concat
+    inlined into the per-candidate hamming check cost ~128 concat
+    evaluations per pair (measured 19s at sf0.1); the long pack inlines
+    as 64 cheap integer ops and the hamming check is one
+    ``bit_count(xor)``."""
+    d = T(spark, sf, "documents").select("doc_id", F.expr(_TOKENS).alias("toks"))
+    tok = (
+        d.select("doc_id", F.explode("toks").alias("tok"))
+        .withColumn("h", F.md5(F.col("tok")))
+        .withColumn("nib", F.expr(_NIB_SPARK))
+    )
+    votes = [
+        F.sum(F.expr(f"(shiftright(nib[{j // 4}], {j % 4}) & 1) * 2 - 1")).alias(f"v{j}")
+        for j in range(_NB64)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    # bitwise OR of shifted flags — no arithmetic overflow at bit 63
+    pack = " | ".join(
+        f"shiftleft(CAST(v{j} >= 0 AS LONG), {j})" for j in range(_NB64)
+    )
+    return agg.select("doc_id", F.expr(pack).alias("sig"))
+
+
 def simhash64_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     """Banded 64-bit SimHash near-dup pairs: candidates share an exact
     16-bit band; verified hamming(sig_a, sig_b) <= 3.  Candidate
     generation is a bucket equi-join (never all-pairs), the 100 TB
-    shape."""
-    sig = _simhash64_df(spark, sf)
-    # ONE pass over the signatures: posexplode the 4 band substrings
-    # (a union of per-band selects would recompute the 64-vote
-    # aggregation once per band; the self-join below then reuses this
-    # plan's exchange for both sides)
+    shape.  Signatures are packed int64 (see ``_simhash64_long_df``):
+    band b = bits [16b, 16b+16), hamming = ``bit_count(a ^ b)`` — all
+    whole-stage-codegen integer ops.  The DuckDB oracle computes the
+    same pairs from the independent bit-STRING form."""
+    sig = _simhash64_long_df(spark, sf)
+    # ONE pass over the signatures: posexplode the 4 band keys (a union
+    # of per-band selects would recompute the 64-vote aggregation once
+    # per band)
     allb = sig.select(
         "doc_id",
         "sig",
         F.posexplode(
-            F.array(*[F.substring("sig", b * 16 + 1, 16) for b in range(_BANDS64)])
+            F.array(*[
+                (F.shiftright("sig", b * 16).bitwiseAND(F.lit(0xFFFF)))
+                for b in range(_BANDS64)
+            ])
         ).alias("band", "bucket"),
     )
     a, b2 = allb.alias("a"), allb.alias("b")
@@ -394,12 +427,8 @@ def simhash64_near_dup(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
-    ham = (
-        "size(filter(sequence(1, 64), "
-        "i -> substring(sig_a, i, 1) != substring(sig_b, i, 1)))"
-    )
     return (
-        cand.withColumn("hamming", F.expr(ham))
+        cand.withColumn("hamming", F.expr("bit_count(sig_a ^ sig_b)"))
         .filter(F.col("hamming") <= _HAM_MAX)
         .select("doc_a", "doc_b", "hamming")
     )
