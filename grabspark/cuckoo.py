@@ -96,7 +96,12 @@ def _insert_into(table: np.ndarray, fp: np.ndarray, i1: np.ndarray, i2: np.ndarr
         # kick chain: displace a resident fp to its alternate bucket
         b, cur = b1, f
         for kick in range(MAX_KICKS):
-            slot = kick % BUCKET_SIZE
+            # victim slot varies with the in-flight fingerprint, not just
+            # the kick counter: a pure kick%4 policy revisits buckets with
+            # a period-4 slot pattern and can walk short cycles to
+            # exhaustion at high load; mixing cur decorrelates the walk
+            # (deterministic, so task retries replay identically)
+            slot = (cur + kick) % BUCKET_SIZE
             victim = int(table[b, slot])
             table[b, slot] = cur
             cur = victim

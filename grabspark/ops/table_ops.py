@@ -164,8 +164,14 @@ def cuckoo_ttl_antijoin(spark: SparkSession, sf: str) -> DataFrame:
         F.col("_last") >= F.lit(_CUCKOO_CUTOFF).cast("timestamp")
     ).select("o_custkey")
 
+    # size from the actual key count at ~0.6 target load (a fixed size
+    # hit 0.92 load at sf0.1 — the cuckoo viability edge — and failed
+    # intermittently); the count is one cheap action on the distinct
+    n_keys = seen_keys.count()
+    n_shards = 8
+    n_buckets = 1 << max(9, (n_keys // (n_shards * 4 * 6 // 10)).bit_length())
     pc = PartitionedCuckoo(
-        _tf.mkdtemp(prefix="grabspark-pcuckoo-"), n_buckets=1 << 9, n_shards=8
+        _tf.mkdtemp(prefix="grabspark-pcuckoo-"), n_buckets=n_buckets, n_shards=n_shards
     )
     pc.create()
     pc.update(seen_keys, "_k")
