@@ -147,6 +147,39 @@ class CrawlEngine:
         )
         return self.run()
 
+    def enqueue_seeds(self, seeds: list[str]) -> CrawlSummary:
+        """Add seeds to a committed crawl and continue (≙ a further
+        POST /api/crawl against the same server state,
+        /root/reference/handlers/crawl.go:18-28): each new seed gets a
+        fresh ``seed_idx`` past every index the run has used, so its
+        per-seed seen scope starts empty [REF-EXACT per-request visited
+        map] — even URLs crawled under earlier seeds are re-crawled
+        under the new one.  The trace of A-then-enqueue-B equals the
+        trace of a single crawl seeded A+B (tested)."""
+        meta = dict(self.frontier.meta() or {})
+        if not meta:
+            return self.start(seeds)
+        if not seeds:
+            return self.run()
+        # every scheduled URL is marked seen (mark-before-fetch C5), so
+        # the max seen seed_idx covers every seed that ever scheduled;
+        # frontier covers seeds with only queued rows
+        base = 0
+        for df in (self.seen.read(), self.frontier.read()):
+            row = df.agg(F.max("seed_idx").alias("m")).collect()[0]
+            if row["m"] is not None:
+                base = max(base, int(row["m"]) + 1)
+        rnd = int(meta["round"])
+        rows = [
+            (base + i, s, urlkit.canon_ref(s), urlkit.host_of(s) or "", -1, 0, rnd)
+            for i, s in enumerate(seeds)
+        ]
+        seeds_df = self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
+        self.frontier.overwrite(
+            self.frontier.read().unionByName(seeds_df), meta=meta
+        )
+        return self.run()
+
     def expire_and_recrawl(self, predicate) -> CrawlSummary:
         """TTL re-crawl (≙ the reference's scheduled DELETE,
         /root/reference/database/migration.sql:14-17, applied to the seen

@@ -371,6 +371,66 @@ FROM u
 """
 
 
+def stream_seed_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch shape of ``streaming.seed_inbox_stream``'s sink (S1 as a
+    stream): raw seed URLs -> REF canon (canon_ref_udf) -> host parse
+    (url_parts_udf) -> first-occurrence dedupe (min raw url per canon
+    key) -> deterministic ``ingest_seq`` by canon order.  URLs are
+    constructed with heavy duplication (same canon target under varying
+    trailing-slash forms) so the dedupe path is actually exercised; the
+    DuckDB oracle recomputes canon with its own regex and the host from
+    the construction directly — two independent parses agreeing."""
+    o = T(spark, sf, "orders")
+    build = (
+        "concat('http://h', CAST((o_orderkey % 997) % 7 AS STRING), '.test/s/', "
+        "CAST(o_orderkey % 997 AS STRING), repeat('/', CAST(o_orderkey % 3 AS INT)))"
+    )
+    rows = (
+        o.select(F.expr(build).alias("url"))
+        .withColumn("url_canon", udfs.canon_ref_udf(F.col("url")))
+        .withColumn("_p", udfs.url_parts_udf(F.col("url")))
+        .withColumn("host", F.col("_p.host"))
+        .drop("_p")
+    )
+    dedup = rows.groupBy("url_canon").agg(
+        F.min_by("url", "url").alias("url"), F.first("host").alias("host")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("url_canon")
+    return dedup.select(
+        (F.row_number().over(w) - 1).cast("long").alias("ingest_seq"),
+        "url",
+        "url_canon",
+        "host",
+    )
+
+
+_SEED_INGEST_SQL = """
+WITH raw AS (
+  SELECT concat('http://h', CAST((o_orderkey % 997) % 7 AS VARCHAR), '.test/s/',
+                CAST(o_orderkey % 997 AS VARCHAR),
+                repeat('/', CAST(o_orderkey % 3 AS INT))) AS url,
+         concat('h', CAST((o_orderkey % 997) % 7 AS VARCHAR), '.test') AS host
+  FROM orders
+),
+canon AS (
+  SELECT url, host,
+         regexp_replace(url,
+           '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*)([^?#]*?)/*(\\?[^#]*)?(#.*)?$',
+           '\\1\\2\\3\\4') AS url_canon
+  FROM raw
+),
+dedup AS (
+  SELECT url_canon, min(url) AS url, min(host) AS host
+  FROM canon GROUP BY url_canon
+)
+SELECT CAST(row_number() OVER (ORDER BY url_canon) - 1 AS BIGINT) AS ingest_seq,
+       url, url_canon, host
+FROM dedup
+"""
+
+
 # ---------------------------------------------------------------------------
 # P4 same-host filter + X1 link extraction
 # ---------------------------------------------------------------------------
@@ -512,6 +572,7 @@ QUERIES = {
     "first_occurrence_dedup": first_occurrence_dedup,
     "url_canonicalize": url_canonicalize,
     "url_canon_full": url_canon_full,
+    "stream_seed_ingest": stream_seed_ingest,
     "same_host_filter": same_host_filter,
     "link_extract_explode": link_extract_explode,
     "metrics_rollup": metrics_rollup,
@@ -531,6 +592,7 @@ ORACLES = {
     "first_occurrence_dedup": _FIRSTOCC_SQL,
     "url_canonicalize": _CANON_SQL,
     "url_canon_full": _CANON_FULL_SQL,
+    "stream_seed_ingest": _SEED_INGEST_SQL,
     "same_host_filter": _SAMEHOST_SQL,
     "link_extract_explode": _EXTRACT_SQL,
     "metrics_rollup": _METRICS_SQL,

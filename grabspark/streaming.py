@@ -229,3 +229,84 @@ def stream_validate_images(store_stream: DataFrame) -> DataFrame:
     cols = [f.name for f in VALIDATION_STREAM_SCHEMA.fields]
     j = store_stream.withColumn("phash_str", F.col("phash").cast("string")).drop("phash")
     return j.mapInPandas(lambda it: udfs.validate_images(it, cols), schema=VALIDATION_STREAM_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Streaming seed ingest (S1 as a stream: new seed URLs trickle in)
+# ---------------------------------------------------------------------------
+
+SEED_LINE_SCHEMA = StructType([StructField("value", StringType())])
+
+INBOX_SCHEMA = StructType(
+    [
+        StructField("ingest_seq", LongType()),
+        StructField("url", StringType()),
+        StructField("url_canon", StringType()),
+        StructField("host", StringType()),
+        StructField("batch_id", LongType()),
+    ]
+)
+
+
+def read_seed_stream(spark: SparkSession, seeds_dir: str, max_files: int = 16) -> DataFrame:
+    """File-source stream of seed URLs, one per text line (≙ repeated
+    POST /api/crawl bodies, /root/reference/handlers/crawl.go:18-28,
+    arriving over time instead of in one request)."""
+    return (
+        spark.readStream.schema(SEED_LINE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .text(seeds_dir)
+    )
+
+
+def seed_inbox_stream(
+    spark: SparkSession,
+    seed_stream: DataFrame,
+    inbox,
+    checkpoint_dir: str,
+):
+    """foreachBatch sink: canonicalize (REF canon, urlkit.canon_ref),
+    first-occurrence dedupe within the batch, anti-join against the
+    inbox SnapshotTable (cross-batch dedupe), append survivors with a
+    deterministic ``ingest_seq`` (inbox size + rank by url_canon within
+    the batch).  The inbox is the staging table
+    ``CrawlEngine.enqueue_seeds`` drains — together they are the
+    streaming form of S1 seed ingest.  Exactly-once across restarts:
+    the checkpointed batch_id is recorded per append, and a replayed
+    batch's rows fall out on the anti-join."""
+    from . import udfs
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        rows = (
+            batch_df.select(F.trim(F.col("value")).alias("url"))
+            .filter(F.col("url") != "")
+            .withColumn("url_canon", udfs.canon_ref_udf(F.col("url")))
+            .withColumn("_p", udfs.url_parts_udf(F.col("url")))
+            .withColumn("host", F.col("_p.host"))
+            .drop("_p")
+        )
+        # first occurrence within the batch: smallest raw url per canon key
+        rows = (
+            rows.groupBy("url_canon")
+            .agg(F.min_by("url", "url").alias("url"), F.first("host").alias("host"))
+        )
+        existing = inbox.read().select("url_canon")
+        fresh = rows.join(existing, "url_canon", "left_anti")
+        base = inbox.row_count()
+        from pyspark.sql.window import Window
+
+        w = Window.orderBy("url_canon")
+        out = fresh.select(
+            (F.lit(base) + F.row_number().over(w) - 1).cast("long").alias("ingest_seq"),
+            "url",
+            "url_canon",
+            "host",
+            F.lit(batch_id).cast("long").alias("batch_id"),
+        )
+        inbox.append(out, meta={"stream_batch": batch_id})
+
+    return (
+        seed_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

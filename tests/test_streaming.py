@@ -168,3 +168,88 @@ def test_stream_image_validation(spark, tmp_path):
     assert list(bad["fmt"]) == ["raw"]
     # qraw images must still clear the lossy PSNR bar
     assert (out[out["fmt"] == "qraw"]["psnr_db"] >= 40.0).all()
+
+
+def test_seed_inbox_stream_two_chunks(spark, tmp_path):
+    """Streaming S1: seed files arrive in two chunks with intra- and
+    cross-batch duplicates (raw variants canonicalizing to the same
+    URL); the inbox ends deduped on url_canon with a deterministic,
+    gap-free ingest_seq, and re-running with no new files appends
+    nothing."""
+    from grabspark.snapshots import SnapshotTable
+    from grabspark.streaming import INBOX_SCHEMA, read_seed_stream, seed_inbox_stream
+
+    seeds_dir = tmp_path / "seeds"
+    seeds_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    inbox = SnapshotTable(spark, str(tmp_path / "inbox"), INBOX_SCHEMA)
+    inbox.overwrite(spark.createDataFrame([], INBOX_SCHEMA))
+
+    def run():
+        q = seed_inbox_stream(
+            spark, read_seed_stream(spark, str(seeds_dir)), inbox, ckpt
+        ).start()
+        q.awaitTermination(120)
+
+    (seeds_dir / "a.txt").write_text(
+        "http://h1.test/x\nhttp://h1.test/x/\nhttp://h2.test/y\n\n"
+    )
+    run()
+    rows1 = {
+        (r.ingest_seq, r.url_canon, r.host)
+        for r in inbox.read().collect()
+    }
+    assert rows1 == {
+        (0, "http://h1.test/x", "h1.test"),
+        (1, "http://h2.test/y", "h2.test"),
+    }
+    # chunk 2: one cross-batch dup (h1/x again, new raw form) + one new
+    (seeds_dir / "b.txt").write_text("http://h1.test/x//\nhttp://h3.test/z\n")
+    run()
+    rows2 = sorted(
+        (r.ingest_seq, r.url_canon) for r in inbox.read().collect()
+    )
+    assert rows2 == [
+        (0, "http://h1.test/x"),
+        (1, "http://h2.test/y"),
+        (2, "http://h3.test/z"),
+    ]
+    # idempotent re-run: no new files -> no new rows
+    run()
+    assert inbox.row_count() == 3
+
+
+def test_enqueue_seeds_from_inbox(spark, tmp_path):
+    """enqueue_seeds ≙ a second POST /api/crawl: the trace of crawl(A)
+    then enqueue(B) equals one crawl seeded A+B (per-seed seen reset —
+    B re-crawls URLs A already fetched, under its own seed_idx)."""
+    from grabspark import synth
+    from grabspark.config import EngineConfig
+    from grabspark.engine import CrawlEngine
+    from tests import oracle
+
+    spec = synth.StoreSpec(n_hosts=3, pages_per_host=6, out_degree=3, seed=5)
+    store = synth.build_store(spec)
+    sp = str(tmp_path / "store.parquet")
+    synth.write_store_parquet(store, sp)
+    all_seeds = synth.default_seeds(spec)
+    a, b = all_seeds[:2], all_seeds[2:] + [all_seeds[0]]  # b re-crawls a[0]
+
+    eng = CrawlEngine(spark, EngineConfig(run_dir=str(tmp_path / "run"), store_path=sp))
+    eng.start(a)
+    eng.enqueue_seeds(b)
+
+    golden = oracle.crawl(store.by_id, a + b)
+    got = [
+        (r.seed_idx, r.fetch_seq, r.url, r.url_canon, r.host, r.ok)
+        for r in eng.trace_df()
+        .orderBy("seed_idx", "fetch_seq")
+        .select("seed_idx", "fetch_seq", "url", "url_canon", "host", "ok")
+        .collect()
+    ]
+    assert got == [tuple(t) for t in golden.trace]
+    seen_got = {
+        (r.seed_idx, r.url_canon)
+        for r in eng.seen_df().select("seed_idx", "url_canon").collect()
+    }
+    assert seen_got == golden.seen
