@@ -431,6 +431,78 @@ FROM dedup
 """
 
 
+def robots_txt_parse(spark: SparkSession, sf: str) -> DataFrame:
+    """X3 raw robots.txt parsing (robots.parse_robots_txt): synthetic
+    per-host bodies with foreign-agent groups, comments, blank lines,
+    empty Disallow, and Crawl-delay — parsed JVM-side with a running
+    ``last`` window for group tracking.  The DuckDB oracle re-parses the
+    same bodies with its own split + IGNORE NULLS window."""
+    from .. import robots as robots_mod
+
+    n = T(spark, sf, "nation")
+    body = (
+        "concat_ws('\\n', '# synthetic robots', 'User-agent: googlebot', "
+        "'Disallow: /gbot', '', 'User-agent: *', "
+        "CASE WHEN n_nationkey % 2 = 0 THEN 'Disallow: /private' ELSE 'Allow: /public' END, "
+        "CASE WHEN n_nationkey % 3 = 0 THEN concat('Crawl-delay: ', CAST(n_nationkey % 5 + 1 AS STRING)) ELSE '' END, "
+        "CASE WHEN n_nationkey % 4 = 0 THEN 'Disallow:' ELSE 'Disallow: /tmp # inline' END)"
+    )
+    bodies = n.select(
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string"), F.lit(".test")).alias("host"),
+        F.expr(body).alias("body"),
+    )
+    return robots_mod.parse_robots_txt(bodies)
+
+
+_ROBOTS_PARSE_SQL = """
+WITH bodies AS (
+  SELECT concat('n', CAST(n_nationkey AS VARCHAR), '.test') AS host,
+         concat_ws(chr(10), '# synthetic robots', 'User-agent: googlebot',
+                   'Disallow: /gbot', '', 'User-agent: *',
+                   CASE WHEN n_nationkey % 2 = 0 THEN 'Disallow: /private' ELSE 'Allow: /public' END,
+                   CASE WHEN n_nationkey % 3 = 0 THEN concat('Crawl-delay: ', CAST(n_nationkey % 5 + 1 AS VARCHAR)) ELSE '' END,
+                   CASE WHEN n_nationkey % 4 = 0 THEN 'Disallow:' ELSE 'Disallow: /tmp # inline' END) AS body
+  FROM nation
+),
+lines AS (
+  SELECT host, pos, trim(regexp_replace(raw, '#.*$', '')) AS line
+  FROM (SELECT host, unnest(string_split(body, chr(10))) AS raw,
+               generate_subscripts(string_split(body, chr(10)), 1) AS pos
+        FROM bodies)
+),
+parsed AS (
+  SELECT host, pos,
+         lower(trim(regexp_extract(line, '^([^:]*):', 1))) AS k,
+         trim(regexp_extract(line, '^[^:]*:(.*)$', 1)) AS v
+  FROM lines WHERE line <> '' AND line LIKE '%:%'
+),
+star AS (
+  SELECT * FROM (
+    SELECT host, k, v,
+           last_value(CASE WHEN k = 'user-agent' THEN v END IGNORE NULLS)
+             OVER (PARTITION BY host ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ua
+    FROM parsed)
+  WHERE ua = '*'
+),
+delays AS (
+  SELECT host, max(CAST(v AS DOUBLE)) AS crawl_delay
+  FROM star WHERE k = 'crawl-delay' GROUP BY host
+),
+rules AS (
+  SELECT host, v AS rule_prefix, (k = 'allow') AS allow
+  FROM star WHERE k IN ('allow', 'disallow') AND v <> ''
+),
+carrier AS (
+  SELECT host, '' AS rule_prefix, TRUE AS allow FROM delays
+  WHERE host NOT IN (SELECT DISTINCT host FROM rules)
+)
+SELECT r.host, r.rule_prefix, r.allow, d.crawl_delay
+FROM (SELECT * FROM rules UNION ALL SELECT * FROM carrier) r
+LEFT JOIN delays d USING (host)
+"""
+
+
 # ---------------------------------------------------------------------------
 # P4 same-host filter + X1 link extraction
 # ---------------------------------------------------------------------------
@@ -573,6 +645,7 @@ QUERIES = {
     "url_canonicalize": url_canonicalize,
     "url_canon_full": url_canon_full,
     "stream_seed_ingest": stream_seed_ingest,
+    "robots_txt_parse": robots_txt_parse,
     "same_host_filter": same_host_filter,
     "link_extract_explode": link_extract_explode,
     "metrics_rollup": metrics_rollup,
@@ -593,6 +666,7 @@ ORACLES = {
     "url_canonicalize": _CANON_SQL,
     "url_canon_full": _CANON_FULL_SQL,
     "stream_seed_ingest": _SEED_INGEST_SQL,
+    "robots_txt_parse": _ROBOTS_PARSE_SQL,
     "same_host_filter": _SAMEHOST_SQL,
     "link_extract_explode": _EXTRACT_SQL,
     "metrics_rollup": _METRICS_SQL,

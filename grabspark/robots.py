@@ -67,3 +67,59 @@ def apply_robots(frontier: DataFrame, rules: DataFrame) -> DataFrame:
         F.max("_m").alias("_best")  # struct max: longest prefix wins
     )
     return decided.filter(F.coalesce(F.col("_best.a"), F.lit(True))).drop("_best")
+
+
+def parse_robots_txt(bodies: DataFrame) -> DataFrame:
+    """Parse raw robots.txt bodies into the RULES_SCHEMA table, all
+    JVM-side (split/explode + a running ``last`` window for group
+    tracking — no Python UDF).
+
+    ``bodies``: ``(host, body)``.  Google-style subset: lines belong to
+    the most recent ``User-agent:`` header; only ``*`` groups apply
+    (the engine crawls under no specific agent name).  ``Allow:`` /
+    ``Disallow:`` with a non-empty path become rules; an empty
+    ``Disallow:`` means allow-all and emits nothing.  ``Crawl-delay:``
+    is host-level (max across the host's ``*`` groups) and is attached
+    to every emitted rule row; a host with a delay but no path rules
+    gets one neutral ``('', allow)`` row to carry it.  Comments (#) and
+    blank lines drop; keys are case-insensitive."""
+    from pyspark.sql import Window
+
+    lines = bodies.select(
+        "host", F.posexplode(F.split(F.col("body"), "\r?\n")).alias("pos", "raw")
+    )
+    clean = F.trim(F.regexp_replace(F.col("raw"), "#.*$", ""))
+    kv = F.split(clean, ":", 2)
+    parsed = (
+        lines.withColumn("_c", clean)
+        .filter(F.col("_c") != "")
+        .select(
+            "host",
+            "pos",
+            F.lower(F.trim(kv.getItem(0))).alias("k"),
+            F.trim(kv.getItem(1)).alias("v"),
+        )
+        .filter(F.col("v").isNotNull())
+    )
+    w = Window.partitionBy("host").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    star = parsed.withColumn(
+        "_ua", F.last(F.when(F.col("k") == "user-agent", F.col("v")), ignorenulls=True).over(w)
+    ).filter(F.col("_ua") == "*")
+    delays = star.filter(F.col("k") == "crawl-delay").groupBy("host").agg(
+        F.max(F.col("v").cast("double")).alias("crawl_delay")
+    )
+    rules = star.filter(
+        F.col("k").isin("allow", "disallow") & (F.col("v") != "")
+    ).select("host", F.col("v").alias("rule_prefix"), (F.col("k") == "allow").alias("allow"))
+    carrier = delays.join(
+        rules.select("host").distinct(), "host", "left_anti"
+    ).select("host", F.lit("").alias("rule_prefix"), F.lit(True).alias("allow"))
+    out = rules.unionByName(carrier).join(delays, "host", "left")
+    return out.select(
+        "host",
+        "rule_prefix",
+        "allow",
+        F.col("crawl_delay").cast("double").alias("crawl_delay"),
+    )

@@ -263,3 +263,44 @@ def test_snapshot_compact_bucketed_one_file_per_bucket(spark, tmp_path):
     got = sorted(r.id for r in t.read(bucket=2).collect())
     assert got == [i for i in range(500) if i % 4 == 2]
     assert len(t.files_for_bucket(2)) == 1
+
+
+def test_parse_robots_txt_to_rules(spark):
+    body = "\n".join([
+        "# comment",
+        "User-agent: googlebot",
+        "Disallow: /only-gbot",
+        "",
+        "USER-AGENT: *",          # case-insensitive key
+        "Disallow: /private  # inline comment",
+        "Allow: /private/ok",
+        "Crawl-delay: 2.5",
+        "Disallow:",              # empty = allow-all, no rule
+    ])
+    bodies = spark.createDataFrame(
+        [("h1.test", body), ("h2.test", "User-agent: *\nCrawl-delay: 7")],
+        "host string, body string",
+    )
+    rules = robots_mod.parse_robots_txt(bodies)
+    got = sorted(map(tuple, rules.collect()))
+    assert got == [
+        ("h1.test", "/private", False, 2.5),
+        ("h1.test", "/private/ok", True, 2.5),
+        ("h2.test", "", True, 7.0),   # delay carrier row
+    ]
+    # parsed rules drive the matcher: longest prefix wins
+    fr = spark.createDataFrame(
+        [("h1.test", "http://h1.test/private/ok/x"),
+         ("h1.test", "http://h1.test/private/no"),
+         ("h1.test", "http://h1.test/only-gbot"),   # foreign group ignored
+         ("h2.test", "http://h2.test/anything")],
+        "host string, url_canon string",
+    )
+    kept = {r.url_canon for r in robots_mod.apply_robots(fr, rules).collect()}
+    assert kept == {
+        "http://h1.test/private/ok/x",
+        "http://h1.test/only-gbot",
+        "http://h2.test/anything",
+    }
+    delays = {r.host: r.crawl_delay for r in robots_mod.host_delays(rules, 1.0).collect()}
+    assert delays == {"h1.test": 2.5, "h2.test": 7.0}
