@@ -166,6 +166,7 @@ class CrawlEngine:
         # frontier covers seeds with only queued rows
         base = 0
         for df in (self.seen.read(), self.frontier.read()):
+            # scalar aggregate: global max reduces to exactly one row
             row = df.agg(F.max("seed_idx").alias("m")).collect()[0]
             if row["m"] is not None:
                 base = max(base, int(row["m"]) + 1)

@@ -286,6 +286,56 @@ class SnapshotTable:
         m = self.manifest(version)
         return 0 if m is None else len(m["files"])
 
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Iceberg ``expire_snapshots``-shaped retention: keep the newest
+        ``keep_last`` snapshots (always including CURRENT), delete older
+        manifests and every data file referenced ONLY by them.  This is
+        what reclaims the space ``compact()`` leaves behind — without it
+        a compacting table's old small files live forever.
+
+        Time travel to expired versions is gone by construction (that is
+        the point); rollback targets must stay within ``keep_last``.
+        Returns ``{"removed_files": n, "removed_snapshots": m,
+        "freed_bytes": b}``.  File deletes happen after the manifest
+        deletes, so a crash mid-expire leaves orphan data files but
+        never a manifest pointing at a missing file."""
+        cur = self.current_version()
+        if cur is None:
+            return {"removed_files": 0, "removed_snapshots": 0, "freed_bytes": 0}
+        snap_dir = os.path.join(self.path, "snapshots")
+        versions = sorted(
+            int(f[1:-5]) for f in os.listdir(snap_dir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        keep = set(versions[-max(1, keep_last):]) | {cur}
+        expired = [v for v in versions if v not in keep]
+        if not expired:
+            return {"removed_files": 0, "removed_snapshots": 0, "freed_bytes": 0}
+        referenced: set[str] = set()
+        for v in keep:
+            m = self.manifest(v)
+            referenced.update(m["files"])
+        doomed: set[str] = set()
+        for v in expired:
+            m = self.manifest(v)
+            doomed.update(f for f in m["files"] if f not in referenced)
+        # manifests first: no surviving manifest may reference a file
+        # we are about to delete
+        for v in expired:
+            os.remove(os.path.join(snap_dir, f"v{v}.json"))
+        freed = 0
+        for f in sorted(doomed):
+            try:
+                freed += os.path.getsize(f)
+                os.remove(f)
+            except FileNotFoundError:
+                pass
+        return {
+            "removed_files": len(doomed),
+            "removed_snapshots": len(expired),
+            "freed_bytes": freed,
+        }
+
     def delete_where(self, condition, meta: dict | None = None) -> int:
         """DELETE FROM ... WHERE condition (≙ the reference's token delete
         and the hourly TTL event, /root/reference/database/mysql.go:83-91,

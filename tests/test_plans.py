@@ -127,6 +127,7 @@ def test_no_data_collect_in_graded_queries():
         "shard id, filename",  # partitioned-bloom manifest rows
         "stats",             # per-seed round counters
         "self.partition_col",  # touched-bucket ids (bounded by n_buckets)
+        "scalar aggregate",  # global max/min reduced to one row
     )
     bad = []
     for root, _dirs, files in os.walk(pkg):

@@ -304,3 +304,46 @@ def test_parse_robots_txt_to_rules(spark):
     }
     delays = {r.host: r.crawl_delay for r in robots_mod.host_delays(rules, 1.0).collect()}
     assert delays == {"h1.test": 2.5, "h2.test": 7.0}
+
+
+def test_expire_snapshots_reclaims_compacted_files(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "exp"))
+    df = lambda a, b: spark.range(a, b).select(F.col("id"))
+    t.overwrite(df(0, 100))
+    for i in range(1, 4):
+        t.append(df(i * 100, i * 100 + 100))
+    vc = t.compact()
+    # all pre-compaction data files = the last pre-compact manifest's list
+    old_files = set(t.manifest(vc - 1)["files"])
+    assert all(os.path.exists(f) for f in old_files)
+    stats = t.expire_snapshots(keep_last=1)
+    # every pre-compaction snapshot gone, their files reclaimed
+    assert stats["removed_snapshots"] == vc
+    assert stats["removed_files"] == len(old_files)
+    assert not any(os.path.exists(f) for f in old_files)
+    assert stats["freed_bytes"] > 0
+    # current snapshot intact and readable
+    assert t.current_version() == vc
+    assert sorted(r.id for r in t.read().collect()) == list(range(400))
+    assert all(os.path.exists(f) for f in t.manifest()["files"])
+    # appends continue normally
+    t.append(df(1000, 1010))
+    assert t.row_count() == 410
+    # idempotent
+    again = t.expire_snapshots(keep_last=2)
+    assert again["removed_files"] == 0 and again["removed_snapshots"] == 0
+
+
+def test_expire_keeps_files_shared_with_live_snapshots(spark, tmp_path):
+    """A file referenced by both an expired and a kept snapshot must
+    survive (append-chains share files across versions)."""
+    t = SnapshotTable(spark, str(tmp_path / "shr"))
+    df = lambda a, b: spark.range(a, b).select(F.col("id"))
+    t.overwrite(df(0, 50))        # v0
+    t.append(df(50, 100))         # v1 references v0's files too
+    v1_files = set(t.manifest(1)["files"])
+    stats = t.expire_snapshots(keep_last=1)  # expires v0 only
+    assert stats["removed_snapshots"] == 1
+    assert stats["removed_files"] == 0  # v0's files all live on in v1
+    assert all(os.path.exists(f) for f in v1_files)
+    assert sorted(r.id for r in t.read().collect()) == list(range(100))
