@@ -100,14 +100,22 @@ def main() -> None:
     queries["q1_pricing_summary"](spark, SF_DIR).count()
     queries["dedup_exact"](spark, SF_DIR).count()
     spark.catalog.clearCache()
+    # interleaved best-of-REPS passes (same protocol as the frontier and
+    # image rounds, BENCH/BASELINE.md): this box's effective CPU varies
+    # ~10x over minutes, so a single-shot number measures the weather;
+    # full-pass interleaving gives every query equal exposure
+    reps = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "2"))
     timings: dict[str, float] = {}
+    for rep in range(reps):
+        for name in HEADLINE:
+            t0 = time.time()
+            df = queries[name](spark, SF_DIR)
+            n = df.count()
+            dt = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
+            spark.catalog.clearCache()  # no cross-query cache accumulation
     for name in HEADLINE:
-        t0 = time.time()
-        df = queries[name](spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
-        spark.catalog.clearCache()  # no cross-query cache accumulation
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
     # frontier scheduling-round throughput (north metric) — seen/store
     # stored BUCKETED on their join keys (the 100 TB co-located-join
