@@ -60,8 +60,13 @@ def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
-    """Peak signal-to-noise ratio in dB; inf for identical images."""
-    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    """Peak signal-to-noise ratio in dB; inf for identical images.
+
+    Diffs/squares are small integers, exactly representable in float64,
+    so the int32 intermediate is bit-identical to float64 arithmetic at
+    a fraction of the memory traffic."""
+    d = a.astype(np.int32) - b.astype(np.int32)
+    mse = np.mean(d * d, dtype=np.float64)
     if mse == 0.0:
         return float("inf")
     return float(10.0 * np.log10(255.0 * 255.0 / mse))
@@ -81,6 +86,10 @@ def _dct_matrix(n: int = _DCT_N) -> np.ndarray:
 
 
 _DCT_M = _dct_matrix()
+# only the top-left 8x8 coefficient block feeds the hash, so only the
+# first 8 DCT basis rows are ever needed: (8,32)@(32,32)@(32,8) is ~6x
+# fewer flops than the full transform
+_DCT_M8 = _DCT_M[:8].copy()
 
 
 def _area_resize(gray: np.ndarray, n: int = _DCT_N) -> np.ndarray:
@@ -107,10 +116,9 @@ def _area_resize(gray: np.ndarray, n: int = _DCT_N) -> np.ndarray:
 
 def phash64(px: np.ndarray) -> int:
     """64-bit DCT perceptual hash as a SIGNED int64 (Spark LongType)."""
-    gray = px.astype(np.float64).mean(axis=2)
+    gray = px.mean(axis=2, dtype=np.float64)
     small = _area_resize(gray)
-    coef = _DCT_M @ small @ _DCT_M.T
-    block = coef[:8, :8].ravel()
+    block = (_DCT_M8 @ small @ _DCT_M8.T).ravel()
     med = np.median(block)
     bits = block > med
     val = 0
@@ -121,3 +129,11 @@ def phash64(px: np.ndarray) -> int:
 
 def hamming64(a: int, b: int) -> int:
     return int(bin((a ^ b) & ((1 << 64) - 1)).count("1"))
+
+
+# NOTE on batching: stacking whole Arrow batches into (k, h, w, 3) arrays
+# and running batched numpy kernels was tried and REVERTED — single-core
+# it is ~25% faster, but under 32 parallel Spark workers the float64
+# gray/cumsum temps (MBs per chunk) thrash the shared L3 and measured
+# 1.5-10x SLOWER than this per-image path, whose ~100 KB working set
+# stays cache-resident (interleaved A/B, two sessions).

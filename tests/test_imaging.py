@@ -61,3 +61,16 @@ def test_phash_differs_across_images():
 def test_decode_length_mismatch():
     with pytest.raises(ValueError):
         imaging.decode_image(b"\x00" * 10, 4, 4, "raw")
+
+
+@given(st.integers(0, 10**6), st.integers(5, 64), st.integers(5, 64))
+@settings(max_examples=40, deadline=None)
+def test_psnr_integer_intermediates_exact(seed, w, h):
+    """psnr's int32 fast path must equal plain float64 arithmetic bit for
+    bit (diffs and squares are small integers, exact in float64)."""
+    a = imaging.pixels_from_id(f"http://a{seed}.test/x", w, h)
+    b = imaging.decode_image(imaging.encode_image(a, "qraw"), w, h, "qraw")
+    d = a.astype(np.float64) - b.astype(np.float64)
+    mse = np.mean(d * d)
+    want = float("inf") if mse == 0.0 else float(10.0 * np.log10(255.0 * 255.0 / mse))
+    assert imaging.psnr(a, b) == want
