@@ -61,6 +61,7 @@ HEADLINE = [
     "quality_score",
     "winnow_fingerprints",
     "event_window_agg",
+    "corpus_curation",
     "audio_features",
     "video_frame_sample",
     "image_features",

@@ -204,6 +204,90 @@ FROM mins GROUP BY doc_id
 """
 
 
+# --- corpus curation: the composed pipeline a training-data user runs ------
+#
+# cleanup -> token-length bounds -> stopword-rate quality gate -> lang ID
+# -> exact near-dup collapse on the CLEANED text (keep min doc_id), all
+# one declarative DataFrame plan: Catalyst collapses the projections into
+# a single scan pass and the only shuffle is the final dedup groupBy
+# (partial aggregation map-side).  At 100 TB this is scan -> filter
+# (pushed) -> one exchange, which is the minimum the semantics allow.
+
+_CUR_MIN_TOKENS, _CUR_MAX_TOKENS, _CUR_MIN_STOP_PCT = 20, 200, 5
+
+
+def corpus_curation(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents").withColumn("toks", F.expr(_TOKENS))
+    stop_arr = "array(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
+    lang_pairs = ", ".join(
+        "struct(size(filter(toks, x -> array_contains(array("
+        + ", ".join(f"'{w}'" for w in ws)
+        + f"), x))) AS c, '{lang}' AS l)"
+        for lang, ws in sorted(_MARKERS.items(), reverse=True)
+    )
+    scored = d.select(
+        "doc_id",
+        F.expr("size(toks)").alias("n_tokens"),
+        F.expr(
+            f"CAST(floor(100.0 * size(filter(toks, x -> array_contains({stop_arr}, x))) "
+            "/ greatest(size(toks), 1)) AS INT)"
+        ).alias("stop_pct"),
+        F.expr(f"greatest({lang_pairs}).l").alias("lang_guess"),
+        F.md5(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))).alias("clean_md5"),
+    )
+    kept = scored.filter(
+        F.col("n_tokens").between(_CUR_MIN_TOKENS, _CUR_MAX_TOKENS)
+        & (F.col("stop_pct") >= _CUR_MIN_STOP_PCT)
+    )
+    return kept.groupBy("clean_md5").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("lang_guess", "doc_id").alias("lang_guess"),
+        F.min_by("n_tokens", "doc_id").alias("n_tokens"),
+        F.min_by("stop_pct", "doc_id").alias("stop_pct"),
+        F.count("*").alias("dup_count"),
+    )
+
+
+def _curation_sql() -> str:
+    count_cols = ", ".join(
+        "len(list_filter(toks, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in ws)
+        + "], x))) AS c_" + lang
+        for lang, ws in _MARKERS.items()
+    )
+    unpivot = " UNION ALL ".join(
+        f"SELECT doc_id, '{lang}' AS cand, c_{lang} AS cnt FROM m"
+        for lang in _MARKERS
+    )
+    return f"""
+WITH d AS (SELECT doc_id, text, {_TOKENS_DUCK} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         CAST(floor(100.0 * len(list_filter(toks, x -> list_contains(['the','a','of','to','and'], x)))
+              / greatest(len(toks), 1)) AS INT) AS stop_pct,
+         md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS clean_md5,
+         {count_cols}
+  FROM d),
+u AS ({unpivot}),
+r AS (SELECT doc_id, cand,
+             row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, cand DESC) AS rk
+      FROM u),
+k AS (
+  SELECT m.doc_id, m.n_tokens, m.stop_pct, m.clean_md5, r.cand AS lang_guess
+  FROM m JOIN r ON m.doc_id = r.doc_id AND r.rk = 1
+  WHERE m.n_tokens BETWEEN {_CUR_MIN_TOKENS} AND {_CUR_MAX_TOKENS}
+    AND m.stop_pct >= {_CUR_MIN_STOP_PCT})
+SELECT clean_md5,
+       min(doc_id) AS doc_id,
+       arg_min(lang_guess, doc_id) AS lang_guess,
+       arg_min(n_tokens, doc_id) AS n_tokens,
+       arg_min(stop_pct, doc_id) AS stop_pct,
+       count(*) AS dup_count
+FROM k GROUP BY clean_md5
+"""
+
+
 QUERIES = {
     "text_cleanup": text_cleanup,
     "token_count": token_count,
@@ -211,6 +295,7 @@ QUERIES = {
     "lang_id_heuristic": lang_id_heuristic,
     "doc_fingerprint": doc_fingerprint,
     "winnow_fingerprints": winnow_fingerprints,
+    "corpus_curation": corpus_curation,
 }
 
 ORACLES = {
@@ -220,4 +305,5 @@ ORACLES = {
     "lang_id_heuristic": _langid_sql(),
     "doc_fingerprint": _FP_SQL,
     "winnow_fingerprints": _WINNOW_SQL,
+    "corpus_curation": _curation_sql(),
 }

@@ -178,3 +178,22 @@ def test_bucketed_seen_join_has_no_exchange_on_big_side(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_corpus_curation_single_shuffle(spark):
+    """The composed curation pipeline (cleanup -> bounds -> quality gate
+    -> lang ID -> exact near-dup collapse) must stay one scan + one
+    exchange: every projection/filter collapses into the scan pass and
+    only the dedup groupBy shuffles, with a partial aggregate below it."""
+    import re
+
+    from grabspark.ops import textstats
+
+    p = plan(textstats.corpus_curation(spark, "/root/testdata/sf0.001"))
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    # partial aggregation below the exchange (two aggregate nodes total)
+    assert len(re.findall(r"\(\d+\) (?:Sort|Hash|ObjectHash)Aggregate", p)) == 2
+    # column pruning: the scan reads only doc_id + text
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert sorted(c.split(":")[0] for c in m.group(1).split(",")) == ["doc_id", "text"]
