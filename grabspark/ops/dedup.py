@@ -454,6 +454,91 @@ WHERE len(list_filter(generate_series(1, 64),
 """
 
 
+# --- near-dup clusters: connected components over the pair graph -----------
+#
+# Pair queries emit edges; DEDUPING needs clusters (keep one doc per
+# component).  Iterated hash-min label propagation: each round every
+# node adopts the minimum label in its closed neighborhood, converging
+# in O(diameter) rounds — the standard distributed-CC shape (each round
+# is one join + one aggregation, all shuffles on the node key; at 100 TB
+# the alternating large-star/small-star variant bounds round count by
+# O(log n) on pathological chains, and near-dup components are tiny in
+# practice).  The per-round convergence check is a scalar count.
+
+
+def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Components of the verified ngram-Jaccard graph: (doc_id,
+    component=min doc_id in the component, csize).  Only documents that
+    appear in at least one near-dup pair are emitted."""
+    # localCheckpoint (not persist) on the iterated frame: each round's
+    # labels would otherwise embed every previous round's lineage, and
+    # after ~10 rounds planning alone OOMs the driver (hit by the 12-doc
+    # chain fixture).  Truncating lineage per round keeps the plan O(1);
+    # on a real cluster use a reliable checkpoint dir instead.
+    pairs = dedup_ngram_jaccard(spark, sf).select("doc_a", "doc_b").localCheckpoint()
+    # size the iteration's parallelism to the edge set: near-dup graphs
+    # are a tiny fraction of the corpus, and running each O(edges) round
+    # at full shuffle width pays fixed per-task cost for empty partitions
+    # (measured ~10x the round's real work at sf0.1).  count() here is a
+    # scalar aggregate on the already-materialized checkpoint.
+    n_parts = max(1, min(32, pairs.count() // 100_000))
+    nbrs = (
+        pairs.unionByName(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .repartition(n_parts, "doc_b")
+        .localCheckpoint()
+    )
+    labels = (
+        nbrs.select(F.col("doc_a").alias("node"))
+        .distinct()
+        .withColumn("lab", F.col("node"))
+        .repartition(n_parts, "node")
+        .localCheckpoint()
+    )
+    for _ in range(50):  # converges in O(diameter) rounds; bound is a backstop
+        nbr_min = (
+            nbrs.join(labels.withColumnRenamed("node", "doc_b"), "doc_b")
+            .groupBy(F.col("doc_a").alias("node"))
+            .agg(F.min("lab").alias("nbr_lab"))
+        )
+        # one frame carries (old, new): the convergence check needs no
+        # second join against the previous labels
+        stepped = labels.join(nbr_min, "node", "left").select(
+            "node", F.col("lab").alias("old_lab"), F.least("lab", "nbr_lab").alias("lab")
+        ).localCheckpoint()
+        changed = stepped.filter(F.col("lab") != F.col("old_lab")).count()  # scalar aggregate
+        labels = stepped.drop("old_lab")
+        if changed == 0:
+            break
+    sizes = labels.groupBy("lab").agg(F.count("*").alias("csize"))
+    out = labels.join(sizes, "lab").select(
+        F.col("node").alias("doc_id"), F.col("lab").alias("component"), "csize"
+    )
+    pairs.unpersist()
+    return out
+
+
+_COMPONENTS_SQL = f"""
+WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a
+)
+SELECT doc_id, component, count(*) OVER (PARTITION BY component) AS csize
+FROM comp
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "ngram_hot_shingles": ngram_hot_shingles,
@@ -462,6 +547,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "simhash64_near_dup": simhash64_near_dup,
+    "dedup_components": dedup_components,
 }
 
 ORACLES = {
@@ -472,4 +558,5 @@ ORACLES = {
     "dedup_minhash_lsh": _MINHASH_SQL,
     "dedup_simhash": _SIMHASH_SQL,
     "simhash64_near_dup": _SIMHASH64_SQL,
+    "dedup_components": _COMPONENTS_SQL,
 }

@@ -32,6 +32,14 @@ def edge_sf(spark, tmp_path_factory):
     docs += [
         (100 + i, f"common boiler plate unique{i} tail{i}") for i in range(120)
     ]
+    # a 12-doc near-dup CHAIN (each window shares exactly one 3-gram
+    # shingle with its successor: J = 1/15 >= 0.05; none with anything
+    # further): components must merge it into ONE cluster, which takes
+    # the hash-min loop ~11 propagation rounds — multi-round convergence
+    stream = [f"ch{i}" for i in range(7 * 11 + 10)]
+    docs += [
+        (300 + i, " ".join(stream[7 * i : 7 * i + 10])) for i in range(12)
+    ]
     spark.createDataFrame(docs, ["doc_id", "text"]).coalesce(1).write.mode(
         "overwrite"
     ).parquet(os.path.join(str(base), "documents.parquet"))
@@ -51,7 +59,7 @@ def _duck(sf_dir):
 @pytest.mark.parametrize(
     "name",
     ["dedup_ngram_jaccard", "minhash_signatures", "dedup_minhash_lsh", "dedup_simhash",
-     "ngram_hot_shingles"],
+     "ngram_hot_shingles", "dedup_components"],
 )
 def test_short_docs_do_not_break_or_diverge(spark, edge_sf, name):
     sdf = dedup.QUERIES[name](spark, edge_sf)
@@ -67,3 +75,19 @@ def test_short_docs_emit_no_shingles(spark, edge_sf):
     by_doc = {r.doc_id for r in sh.select("doc_id").distinct().collect()}
     assert by_doc.isdisjoint({0, 1, 2, 7})
     assert 3 in by_doc
+
+
+def test_components_merge_chain_into_one_cluster(spark, edge_sf):
+    """The 12-doc chain is connected only through consecutive hops, so a
+    single-round min-propagation would leave it fragmented; the loop
+    must iterate to convergence and label all 12 with the chain's min
+    doc_id."""
+    out = {
+        r.doc_id: (r.component, r.csize)
+        for r in dedup.QUERIES["dedup_components"](spark, edge_sf).collect()
+    }
+    chain = [300 + i for i in range(12)]
+    assert all(d in out for d in chain)
+    assert {out[d] for d in chain} == {(300, 12)}
+    # exact-dup pair 4/5 and near-dup 6 form one separate component
+    assert out[4] == out[5] == out[6] == (4, 3)
