@@ -5,8 +5,11 @@ Absent from the reference (its politeness is a global 1 s sleep,
 per-host robots allow/deny rules and a crawl-delay budget.
 
 Rules table (FIXTURES.md §3): ``(host, rule_prefix, allow, crawl_delay)``.
-Matching: among a host's rules whose ``rule_prefix`` is a path prefix,
-the LONGEST prefix wins (Google-style); no matching rule => allowed.
+Matching (RFC 9309 / Google REP): ``rule_prefix`` is a path PATTERN —
+a prefix, optionally with ``*`` (any octet sequence) and a trailing
+``$`` (end-of-path anchor); every other character is literal.  Among a
+host's matching rules the longest pattern wins; on a length tie the
+allow rule wins (least-restrictive); no matching rule => allowed.
 ``crawl_delay`` is host-level (taken from the host's rules; the engine
 turns it into a per-round fetch budget: max(1, tick/crawl_delay)).
 
@@ -44,11 +47,28 @@ def host_delays(rules: DataFrame, default_delay: float) -> DataFrame:
     )
 
 
+def _pattern_regex():
+    """``rule_prefix`` REP pattern -> anchored Java regex, as a Catalyst
+    column (no UDF): a trailing ``$`` becomes the end anchor, ``*``
+    becomes ``.*``, every other regex metacharacter is escaped.  A plain
+    prefix therefore matches exactly as ``startswith`` did."""
+    anchored = F.col("rule_prefix").endswith("$")
+    body = F.when(
+        anchored, F.expr("substring(rule_prefix, 1, length(rule_prefix) - 1)")
+    ).otherwise(F.col("rule_prefix"))
+    esc = F.regexp_replace(body, r"([.\[\]{}()+?^$|\\])", r"\\$1")
+    return F.concat(
+        F.lit("^"),
+        F.regexp_replace(esc, r"\*", ".*"),
+        F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+    )
+
+
 def apply_robots(frontier: DataFrame, rules: DataFrame) -> DataFrame:
     """Filter candidate rows to robots-allowed ones.
 
     ``frontier`` must carry ``host`` and ``url_canon``; the path used for
-    prefix matching is everything after scheme://authority of the
+    pattern matching is everything after scheme://authority of the
     canonical URL (computed JVM-side with string ops, not a UDF).
     """
     path = F.regexp_replace(F.col("url_canon"), r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*", "")
@@ -59,7 +79,7 @@ def apply_robots(frontier: DataFrame, rules: DataFrame) -> DataFrame:
         "_m",
         F.when(
             F.col("rule_prefix").isNotNull()
-            & F.col("_path").startswith(F.col("rule_prefix")),
+            & F.regexp_like(F.col("_path"), _pattern_regex()),
             F.struct(F.length("rule_prefix").alias("l"), F.col("allow").alias("a")),
         ),
     )

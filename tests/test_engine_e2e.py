@@ -433,3 +433,84 @@ def test_compact_every_trace_exact_and_fewer_files(spark, crawl_setup):
         for r in eng2.seen_df().select("seed_idx", "url_canon").collect()
     }
     assert seen_got == golden.seen
+
+
+def test_engine_robots_wildcard_e2e(spark, crawl_setup, tmp_path):
+    """cfg.robots_path end-to-end with RFC 9309 wildcard patterns: denied
+    candidates are never scheduled, never fetched, never marked seen, and
+    the surviving trace keeps exact reference order — verified against a
+    robots-aware run of the independent oracle transliteration (the REP
+    matcher below is an independent reimplementation of the engine's
+    Catalyst pattern->regex conversion)."""
+    import re
+
+    from grabspark import robots as robots_mod
+
+    spec, store, store_path, seeds, golden, base = crawl_setup
+    host0 = seeds[0].split("/")[2]
+    host1 = seeds[1].split("/")[2]
+    rules = [
+        (host0, "/p*3", False, 1.0),  # mid-pattern wildcard
+        (host0, "/", True, 1.0),
+        (host1, "/p5$", False, 1.0),  # end anchor
+    ]
+
+    def conv(pat: str) -> str:
+        anchored = pat.endswith("$")
+        body = pat[:-1] if anchored else pat
+        return "^" + re.escape(body).replace(r"\*", ".*") + ("$" if anchored else "")
+
+    def allowed(url: str) -> bool:
+        canon = oracle.normalize_url(url)
+        m = re.match(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*", canon)
+        path = canon[m.end():] if m else canon
+        path = path or "/"
+        try:
+            host = oracle.go_hostname(oracle.go_parse(url).netloc)
+        except oracle.GoParseError:
+            host = ""
+        best = None
+        for h, pat, alw, _ in rules:
+            if h == host and re.match(conv(pat), path):
+                key = (len(pat), alw)
+                best = key if best is None or key > best else best
+        return True if best is None else best[1]
+
+    # robots-aware transliteration of oracle.crawl: deny at push time,
+    # no seen-marking for denied URLs
+    expected = []
+    for seed_idx, seed in enumerate(seeds):
+        to_visit = [seed] if allowed(seed) else []
+        visited: set[str] = set()
+        seq = 0
+        while to_visit:
+            url = to_visit.pop(0)
+            canon = oracle.normalize_url(url)
+            if canon in visited:
+                continue
+            visited.add(canon)
+            ok, _title, _content, links = oracle.scrape_and_extract(store.by_id, url)
+            try:
+                host = oracle.go_hostname(oracle.go_parse(url).netloc)
+            except oracle.GoParseError:
+                host = ""
+            expected.append((seed_idx, seq, url, canon, host, ok))
+            if ok:
+                for link in links:
+                    if oracle.normalize_url(link) not in visited and allowed(link):
+                        to_visit.append(link)
+            seq += 1
+
+    # the rules must actually bite (p3 on host0 / p5 on host1 are linked)
+    assert len(expected) < len(golden.trace)
+
+    rules_path = str(tmp_path / "rules.parquet")
+    spark.createDataFrame(rules, robots_mod.RULES_SCHEMA).write.parquet(rules_path)
+    eng = run_engine(
+        spark, store_path, seeds, tmp_path / "run_rb",
+        bloom=BloomConfig(enabled=False), robots_path=rules_path,
+    )
+    assert engine_trace_rows(eng) == expected
+    # denied URLs are not in the seen table either (re-evaluated, not marked)
+    seen = {r.url_canon for r in eng.seen.read().select("url_canon").collect()}
+    assert not {u for u in seen if re.match(r".*://" + re.escape(host0) + r"/p.*3$", u)}

@@ -347,3 +347,38 @@ def test_expire_keeps_files_shared_with_live_snapshots(spark, tmp_path):
     assert stats["removed_files"] == 0  # v0's files all live on in v1
     assert all(os.path.exists(f) for f in v1_files)
     assert sorted(r.id for r in t.read().collect()) == list(range(100))
+
+
+def test_robots_wildcard_patterns(spark):
+    """RFC 9309 patterns: '*' spans octets, trailing '$' anchors, other
+    metacharacters are literal, longest pattern wins, allow wins ties."""
+    rules = _rules(
+        spark,
+        [
+            ("h.test", "/", True, 1.0),
+            ("h.test", "/*.pdf$", False, 1.0),          # deny pdf anywhere
+            ("h.test", "/private/*/secret", False, 1.0),
+            ("h.test", "/a+b", False, 1.0),              # literal '+'
+            ("h.test", "/tie*", False, 1.0),             # length-5 deny ...
+            ("h.test", "/tie/", True, 1.0),              # ... length-5 allow: tie -> allow
+        ],
+    )
+    f = _frontier(
+        spark,
+        [
+            "http://h.test/docs/file.pdf",      # denied by /*.pdf$
+            "http://h.test/docs/file.pdfx",     # $ anchor: allowed
+            "http://h.test/private/a/secret",   # denied by mid-pattern *
+            "http://h.test/private/secret",     # '*' needs the extra '/': allowed
+            "http://h.test/a+b",                # literal '+': denied
+            "http://h.test/aab",                # must NOT match '/a+b' as regex
+            "http://h.test/tie/x",              # deny/allow tie at length 5 -> allow
+        ],
+    )
+    got = {r.url for r in robots_mod.apply_robots(f, rules).collect()}
+    assert got == {
+        "http://h.test/docs/file.pdfx",
+        "http://h.test/private/secret",
+        "http://h.test/aab",
+        "http://h.test/tie/x",
+    }
