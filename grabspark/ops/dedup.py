@@ -457,31 +457,87 @@ WHERE len(list_filter(generate_series(1, 64),
 # --- near-dup clusters: connected components over the pair graph -----------
 #
 # Pair queries emit edges; DEDUPING needs clusters (keep one doc per
-# component).  Iterated hash-min label propagation: each round every
-# node adopts the minimum label in its closed neighborhood, converging
-# in O(diameter) rounds — the standard distributed-CC shape (each round
-# is one join + one aggregation, all shuffles on the node key; at 100 TB
-# the alternating large-star/small-star variant bounds round count by
-# O(log n) on pathological chains, and near-dup components are tiny in
-# practice).  The per-round convergence check is a scalar count.
+# component).  Scale path: alternating large-star/small-star contraction
+# (Kiveris et al., "Connected Components in MapReduce and Beyond",
+# ACM SoCC 2014 — public paper), which converges in O(log n) rounds on
+# ANY graph, vs O(diameter) for plain min-label propagation (a 12-hop
+# chain takes ~11 min-label rounds but ≤5 star rounds).  Each phase is
+# one groupBy + one join, all shuffles on the node key.  Min-label
+# propagation is retained below as the independent small-scale oracle
+# (tests/test_dedup_edge.py asserts label-for-label agreement).
 
 
-def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
-    """Components of the verified ngram-Jaccard graph: (doc_id,
-    component=min doc_id in the component, csize).  Only documents that
-    appear in at least one near-dup pair are emitted."""
-    # localCheckpoint (not persist) on the iterated frame: each round's
-    # labels would otherwise embed every previous round's lineage, and
-    # after ~10 rounds planning alone OOMs the driver (hit by the 12-doc
-    # chain fixture).  Truncating lineage per round keeps the plan O(1);
-    # on a real cluster use a reliable checkpoint dir instead.
-    pairs = dedup_ngram_jaccard(spark, sf).select("doc_a", "doc_b").localCheckpoint()
-    # size the iteration's parallelism to the edge set: near-dup graphs
-    # are a tiny fraction of the corpus, and running each O(edges) round
-    # at full shuffle width pays fixed per-task cost for empty partitions
-    # (measured ~10x the round's real work at sf0.1).  count() here is a
-    # scalar aggregate on the already-materialized checkpoint.
-    n_parts = max(1, min(32, pairs.count() // 100_000))
+def _cc_edges(pairs: DataFrame, n_parts: int) -> DataFrame:
+    """Canonical (hi, lo)-oriented distinct edge set."""
+    return (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("a"), F.least("doc_a", "doc_b").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .repartition(n_parts, "a")
+        .localCheckpoint()
+    )
+
+
+def cc_two_phase(pairs: DataFrame, n_parts: int, max_rounds: int = 50):
+    """Large-star/small-star CC over an edge DataFrame (doc_a, doc_b).
+    Returns (labels DataFrame (node, lab=component min), rounds used).
+
+    large-star: every node u connects its strictly-larger neighbours to
+    m(u) = min of u's closed neighbourhood — long chains halve.
+    small-star: every node u connects its ≤-neighbours (and itself) to
+    the minimum of that set — stars flatten.  At a fixed point all edges
+    are (node, component-min).  Per round: 2 groupBy + 2 join, shuffles
+    keyed on the node; lineage truncated per round via localCheckpoint
+    (a reliable checkpoint dir on a real cluster)."""
+    edges = _cc_edges(pairs, n_parts)
+    rounds = 0
+    while rounds < max_rounds:
+        rounds += 1
+        # large-star over the symmetric view: m(u) = min(u, min nbr)
+        sym = edges.unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = sym.groupBy("a").agg(F.min("b").alias("mb"))
+        mins = mins.select("a", F.least("a", "mb").alias("m"))
+        large = (
+            sym.filter(F.col("b") > F.col("a"))
+            .join(mins, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+        # small-star: edges are (hi=a, lo=b), so a's ≤-neighbours are its
+        # b's; connect them (and a) to the minimum
+        small_min = large.groupBy("a").agg(F.min("b").alias("m"))
+        j = large.join(small_min, "a")
+        stepped = (
+            j.select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .unionByName(j.select("a", F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .repartition(n_parts, "a")
+            .localCheckpoint()
+        )
+        # fixed point = identical edge set (both sides are distinct sets);
+        # symmetric difference in one action, edge-scale work
+        changed = (
+            stepped.exceptAll(edges).unionByName(edges.exceptAll(stepped)).count()
+        )
+        edges = stepped
+        if changed == 0:
+            break
+    labels = (
+        edges.select(F.col("a").alias("node"), F.col("b").alias("lab"))
+        .unionByName(edges.select(F.col("b").alias("node"), F.col("b").alias("lab")))
+        .distinct()
+    )
+    return labels, rounds
+
+
+def cc_min_label(pairs: DataFrame, n_parts: int):
+    """O(diameter) hash-min label propagation — the independent oracle
+    for cc_two_phase (kept small-scale only).  Returns (labels, rounds)."""
     nbrs = (
         pairs.unionByName(
             pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -496,7 +552,9 @@ def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
         .repartition(n_parts, "node")
         .localCheckpoint()
     )
+    rounds = 0
     for _ in range(50):  # converges in O(diameter) rounds; bound is a backstop
+        rounds += 1
         nbr_min = (
             nbrs.join(labels.withColumnRenamed("node", "doc_b"), "doc_b")
             .groupBy(F.col("doc_a").alias("node"))
@@ -511,6 +569,27 @@ def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
         labels = stepped.drop("old_lab")
         if changed == 0:
             break
+    return labels, rounds
+
+
+def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Components of the verified ngram-Jaccard graph: (doc_id,
+    component=min doc_id in the component, csize).  Only documents that
+    appear in at least one near-dup pair are emitted.  Uses the O(log n)
+    large-star/small-star contraction (scale path); min-label propagation
+    remains the pytest oracle."""
+    # localCheckpoint (not persist) on the iterated frame: each round's
+    # edges would otherwise embed every previous round's lineage, and
+    # after ~10 rounds planning alone OOMs the driver (hit by the 12-doc
+    # chain fixture).  Truncating lineage per round keeps the plan O(1).
+    pairs = dedup_ngram_jaccard(spark, sf).select("doc_a", "doc_b").localCheckpoint()
+    # size the iteration's parallelism to the edge set: near-dup graphs
+    # are a tiny fraction of the corpus, and running each O(edges) round
+    # at full shuffle width pays fixed per-task cost for empty partitions
+    # (measured ~10x the round's real work at sf0.1).  count() here is a
+    # scalar aggregate on the already-materialized checkpoint.
+    n_parts = max(1, min(32, pairs.count() // 100_000))
+    labels, _ = cc_two_phase(pairs, n_parts)
     sizes = labels.groupBy("lab").agg(F.count("*").alias("csize"))
     out = labels.join(sizes, "lab").select(
         F.col("node").alias("doc_id"), F.col("lab").alias("component"), "csize"

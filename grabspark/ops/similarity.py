@@ -204,8 +204,17 @@ _N_PLANES = 8
 # multi-table LSH (ann_lsh_topk): T independent hash tables; a true
 # neighbour is a candidate if ANY table (plus its hamming-1 probes)
 # buckets it with the query — recall compounds as 1-(1-p)^T while the
-# scanned fraction stays T*(planes+1)/2^planes of the store
-_N_TABLES = 6
+# scanned fraction stays ~T*(planes+1)/2^planes of the store.
+# T=16 tuned on the fixtures (r3): the synthetic embeddings are near-
+# random (exact top-10 cosine is only ~0.28-0.37, i.e. per-bit sketch
+# agreement ~0.59), so per-table hit probability is low and recall
+# plateaus unless many tables vote — measured recall@10 0.9 at sf0.01
+# (0.7 @ T=6); the price is a ~40% candidate scan at fixture scale,
+# REPORTED as scanned_pct by ann_recall_report.  On real clustered
+# embeddings (neighbour cos >= 0.8, bit agreement >= 0.85) the same
+# 16x(8-bit + hamming-1) setup scans <6% — the fixture is the
+# adversarial case, not the expected one.
+_N_TABLES = 16
 
 
 _PLANE_MAX_DIM = 128  # >= any fixture embedding width (64); sliced per row
@@ -279,6 +288,27 @@ _PROBES_LAMBDA = (
 )
 
 
+def _lsh_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    """Candidate vec_ids = any of the _N_TABLES tables co-buckets the row
+    with the query (own bucket + hamming-1 probes).  Shared by
+    ann_lsh_topk (re-rank) and ann_recall_report (scanned-fraction)."""
+    e = T(spark, sf, "embeddings")
+    buckets = F.array(*[F.expr(_bucket_spark_expr(t)) for t in range(_N_TABLES)])
+    eb = e.select(
+        "vec_id", "embedding", F.posexplode(buckets).alias("t", "bucket")
+    )
+    q = eb.filter(F.col("vec_id") == 0).select(
+        "t", F.col("bucket").alias("qb")
+    )
+    probes = q.select("t", F.explode(F.expr(_PROBES_LAMBDA)).alias("bucket"))
+    return (
+        eb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probes), ["t", "bucket"])
+        .select("vec_id")
+        .distinct()
+    )
+
+
 def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end bucketed ANN (the 100 TB scale path): _N_TABLES
     independent hash tables; per table, the query's probe buckets (own
@@ -291,20 +321,7 @@ def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     grades the recall in the driver gate; the DuckDB oracle here replays
     the identical bucketed computation."""
     e = T(spark, sf, "embeddings")
-    buckets = F.array(*[F.expr(_bucket_spark_expr(t)) for t in range(_N_TABLES)])
-    eb = e.select(
-        "vec_id", "embedding", F.posexplode(buckets).alias("t", "bucket")
-    )
-    q = eb.filter(F.col("vec_id") == 0).select(
-        "t", F.col("bucket").alias("qb")
-    )
-    probes = q.select("t", F.explode(F.expr(_PROBES_LAMBDA)).alias("bucket"))
-    cand_ids = (
-        eb.filter(F.col("vec_id") != 0)
-        .join(F.broadcast(probes), ["t", "bucket"])
-        .select("vec_id")
-        .distinct()
-    )
+    cand_ids = _lsh_candidates(spark, sf)
     qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("b"))
     cand = (
         e.join(cand_ids, "vec_id", "left_semi")
@@ -320,7 +337,9 @@ def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(10)
 
 
-_ANN_LSH_SQL = f"""
+# candidate-set SQL, parenthesizable as a subquery (shared by the top-k
+# oracle and the recall report's scanned-fraction count)
+_LSH_CAND_SQL = f"""
 WITH eb AS (
   {' UNION ALL '.join(f"SELECT vec_id, embedding, {t} AS t, {_bucket_duck_expr(t)} AS bucket FROM embeddings" for t in range(_N_TABLES))}
 ),
@@ -332,12 +351,15 @@ probes AS (
                    || (CASE WHEN substring(qb, i, 1) = '1' THEN '0' ELSE '1' END)
                    || substring(qb, i + 1, {_N_PLANES} - i) END AS bucket
   FROM q, (SELECT unnest(generate_series(0, {_N_PLANES})) AS i) g
-),
-cand AS (
-  SELECT DISTINCT eb.vec_id
-  FROM eb JOIN probes p ON eb.t = p.t AND eb.bucket = p.bucket
-  WHERE eb.vec_id <> 0
-),
+)
+SELECT DISTINCT eb.vec_id
+FROM eb JOIN probes p ON eb.t = p.t AND eb.bucket = p.bucket
+WHERE eb.vec_id <> 0
+"""
+
+
+_ANN_LSH_SQL = f"""
+WITH cand AS ({_LSH_CAND_SQL}),
 qv AS (SELECT embedding::DOUBLE[] AS b FROM embeddings WHERE vec_id = 0),
 scored AS (
   SELECT e.vec_id,
@@ -404,6 +426,34 @@ _N_PIVOTS = 16
 _N_PROBE = 4
 
 
+def _ivf_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    """Candidate vec_ids = rows whose nearest-pivot cell is among the
+    query's _N_PROBE probed cells.  Shared by ann_ivf_topk (re-rank) and
+    ann_recall_report (scanned-fraction)."""
+    e = T(spark, sf, "embeddings")
+    piv = e.filter(F.col("vec_id").between(1, _N_PIVOTS)).select(
+        F.col("vec_id").alias("pivot_id"), F.col("embedding").alias("p")
+    )
+    cos_ap = f"round({_DOT.replace('zip_with(a, b', 'zip_with(a, p')} / ({_NORM.format(c='a')} * {_NORM.format(c='p')}), 6)"
+    base = e.filter(F.col("vec_id") != 0).select("vec_id", F.col("embedding").alias("a"))
+    ac = base.crossJoin(F.broadcast(piv)).withColumn("cp", F.expr(cos_ap))
+    # argmax via max_by with a (cp, -pivot_id) sort key: partial-aggregates
+    # map-side, so the shuffle carries ONE row per vector — a row_number
+    # window here would shuffle all K pivot-copies of every embedding
+    assigned = ac.groupBy("vec_id").agg(
+        F.expr("max_by(pivot_id, struct(cp, -pivot_id))").alias("cell"),
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("a"))
+    probes = (
+        q.crossJoin(F.broadcast(piv))
+        .withColumn("cp", F.expr(cos_ap))
+        .orderBy(F.desc("cp"), F.asc("pivot_id"))
+        .limit(_N_PROBE)
+        .select(F.col("pivot_id").alias("cell"))
+    )
+    return assigned.join(F.broadcast(probes), "cell").select("vec_id")
+
+
 def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-bucketed ANN: coarse-quantize every vector to its nearest
     pivot (pivots = the embeddings of vec_id 1.._N_PIVOTS — deterministic
@@ -420,29 +470,13 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     Ties and float order are pinned (round 6dp, then pivot_id asc) so the
     winner can't flip between engines."""
     e = T(spark, sf, "embeddings")
-    piv = e.filter(F.col("vec_id").between(1, _N_PIVOTS)).select(
-        F.col("vec_id").alias("pivot_id"), F.col("embedding").alias("p")
-    )
-    cos_ap = f"round({_DOT.replace('zip_with(a, b', 'zip_with(a, p')} / ({_NORM.format(c='a')} * {_NORM.format(c='p')}), 6)"
-    base = e.filter(F.col("vec_id") != 0).select("vec_id", F.col("embedding").alias("a"))
-    ac = base.crossJoin(F.broadcast(piv)).withColumn("cp", F.expr(cos_ap))
-    # argmax via max_by with a (cp, -pivot_id) sort key: partial-aggregates
-    # map-side, so the shuffle carries ONE row per vector — a row_number
-    # window here would shuffle all K pivot-copies of every embedding
-    assigned = ac.groupBy("vec_id").agg(
-        F.expr("max_by(pivot_id, struct(cp, -pivot_id))").alias("cell"),
-        F.first("a").alias("a"),
-    )
-    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("a"))
-    probes = (
-        q.crossJoin(F.broadcast(piv))
-        .withColumn("cp", F.expr(cos_ap))
-        .orderBy(F.desc("cp"), F.asc("pivot_id"))
-        .limit(_N_PROBE)
-        .select(F.col("pivot_id").alias("cell"))
-    )
+    cand_ids = _ivf_candidates(spark, sf)
     qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("b"))
-    cand = assigned.join(F.broadcast(probes), "cell").crossJoin(F.broadcast(qv))
+    cand = (
+        e.join(cand_ids, "vec_id", "left_semi")
+        .select("vec_id", F.col("embedding").alias("a"))
+        .crossJoin(F.broadcast(qv))
+    )
     scored = cand.select(
         "vec_id",
         F.expr(f"round({_DOT} / ({_NORM.format(c='a')} * {_NORM.format(c='b')}), 6)").alias(
@@ -452,7 +486,7 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(10)
 
 
-_ANN_IVF_SQL = f"""
+_IVF_CAND_SQL = f"""
 WITH piv AS (
   SELECT vec_id AS pivot_id, embedding::DOUBLE[] AS p
   FROM embeddings WHERE vec_id BETWEEN 1 AND {_N_PIVOTS}
@@ -465,7 +499,7 @@ ac AS (
   FROM base b, piv p
 ),
 assigned AS (
-  SELECT vec_id, a, pivot_id AS cell FROM (
+  SELECT vec_id, pivot_id AS cell FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cp DESC, pivot_id ASC) AS rk
     FROM ac
   ) WHERE rk = 1
@@ -478,12 +512,20 @@ probes AS (
                  / (sqrt(list_dot_product(q.b, q.b)) * sqrt(list_dot_product(p.p, p.p))), 6) DESC,
            p.pivot_id ASC
   LIMIT {_N_PROBE}
-),
+)
+SELECT s.vec_id FROM assigned s JOIN probes pr ON s.cell = pr.cell
+"""
+
+
+_ANN_IVF_SQL = f"""
+WITH cand AS ({_IVF_CAND_SQL}),
+q AS (SELECT embedding::DOUBLE[] AS b FROM embeddings WHERE vec_id = 0),
 scored AS (
-  SELECT s.vec_id,
-         round(list_dot_product(s.a, q.b)
-               / (sqrt(list_dot_product(s.a, s.a)) * sqrt(list_dot_product(q.b, q.b))), 6) AS cos_sim
-  FROM assigned s JOIN probes pr ON s.cell = pr.cell, q
+  SELECT e.vec_id,
+         round(list_dot_product(e.embedding::DOUBLE[], q.b)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.b, q.b))), 6) AS cos_sim
+  FROM embeddings e JOIN cand USING (vec_id), q
 )
 SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
 """
@@ -499,14 +541,31 @@ SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
 
 
 def ann_recall_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-method recall@10 AND the price paid for it: n_candidates /
+    scanned_pct = the fraction of the store the approximate path had to
+    exact-score.  The tradeoff pair (recall, scanned) is the tuning
+    signal at 100 TB; integer columns only, so the hash compare is
+    exact (hits CAST to BIGINT on the DuckDB side — its sum() returns
+    HUGEINT which pandas would float)."""
+    e = T(spark, sf, "embeddings")
+    total = e.filter(F.col("vec_id") != 0).select(
+        F.count("*").alias("total")
+    )
     exact = ann_cosine_topk(spark, sf).select("vec_id")
     approx = (
         ann_lsh_topk(spark, sf).select(F.lit("lsh").alias("method"), "vec_id")
     ).unionByName(
         ann_ivf_topk(spark, sf).select(F.lit("ivf").alias("method"), "vec_id")
     )
+    ncand = (
+        _lsh_candidates(spark, sf)
+        .select(F.lit("lsh").alias("method"))
+        .unionByName(_ivf_candidates(spark, sf).select(F.lit("ivf").alias("method")))
+        .groupBy("method")
+        .agg(F.count("*").alias("n_candidates"))
+    )
     hit = exact.withColumn("_hit", F.lit(1))
-    return (
+    rec = (
         approx.join(hit, "vec_id", "left")
         .groupBy("method")
         .agg(
@@ -514,20 +573,42 @@ def ann_recall_report(spark: SparkSession, sf: str) -> DataFrame:
             (F.sum(F.coalesce(F.col("_hit"), F.lit(0))) * 10).cast("int").alias("recall_pct"),
         )
     )
+    # integer-division percent: exact on both engines (no float rounding)
+    return (
+        rec.join(ncand, "method")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "method", "hits", "recall_pct", "n_candidates",
+            F.expr("CAST((100 * n_candidates) DIV total AS INT)").alias("scanned_pct"),
+        )
+    )
 
 
 _RECALL_SQL = f"""
 WITH exact AS (SELECT vec_id FROM ({_TOPK_SQL})),
+total AS (SELECT count(*) AS total FROM embeddings WHERE vec_id <> 0),
 approx AS (
   SELECT 'lsh' AS method, vec_id FROM ({_ANN_LSH_SQL})
   UNION ALL
   SELECT 'ivf' AS method, vec_id FROM ({_ANN_IVF_SQL})
+),
+ncand AS (
+  SELECT 'lsh' AS method, count(*) AS n_candidates FROM ({_LSH_CAND_SQL})
+  UNION ALL
+  SELECT 'ivf' AS method, count(*) AS n_candidates FROM ({_IVF_CAND_SQL})
+),
+rec AS (
+  SELECT method,
+         CAST(sum(CASE WHEN vec_id IN (SELECT vec_id FROM exact) THEN 1 ELSE 0 END) AS BIGINT)
+           AS hits,
+         CAST(10 * sum(CASE WHEN vec_id IN (SELECT vec_id FROM exact) THEN 1 ELSE 0 END) AS INT)
+           AS recall_pct
+  FROM approx GROUP BY method
 )
-SELECT method,
-       sum(CASE WHEN vec_id IN (SELECT vec_id FROM exact) THEN 1 ELSE 0 END) AS hits,
-       CAST(10 * sum(CASE WHEN vec_id IN (SELECT vec_id FROM exact) THEN 1 ELSE 0 END) AS INT)
-         AS recall_pct
-FROM approx GROUP BY method
+SELECT rec.method, rec.hits, rec.recall_pct,
+       CAST(ncand.n_candidates AS BIGINT) AS n_candidates,
+       CAST((100 * ncand.n_candidates) // total.total AS INT) AS scanned_pct
+FROM rec JOIN ncand ON rec.method = ncand.method, total
 """
 
 

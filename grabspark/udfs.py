@@ -40,6 +40,7 @@ url_parts_udf = F.pandas_udf(
 canon_full_udf = F.pandas_udf(urlkit.canon_full_s, StringType())
 fetch_key_udf = F.pandas_udf(urlkit.fetch_key_s, StringType())
 host_of_udf = F.pandas_udf(urlkit.host_of_s, StringType())
+export_name_udf = F.pandas_udf(urlkit.export_name_s, StringType())
 clean_text_udf = F.pandas_udf(textkit.clean_text_s, StringType())
 extract_links_udf = F.pandas_udf(textkit.extract_links_s, ArrayType(StringType()))
 extract_title_udf = F.pandas_udf(textkit.extract_title_s, StringType())

@@ -192,6 +192,17 @@ def host_of_s(s: pd.Series) -> pd.Series:
     return _hostname_s(p["auth"]).where(valid, None)
 
 
+def export_name_s(s: pd.Series) -> pd.Series:
+    """Vectorized ``sanitize_file_name(base_url(url))`` — the reference's
+    export-file naming (utils/file_utils.go:76-77: fileName =
+    sanitizeFileName(getBaseURL(page.URL))), with the literal fallbacks:
+    parse failure -> ``invalid_url``, empty hostname -> ``default``."""
+    valid, p = _extract(s)
+    host = _hostname_s(p["auth"])
+    out = host.where(host != "", "default")
+    return out.where(valid, "invalid_url").astype("string")
+
+
 def url_parts_s(s: pd.Series) -> pd.DataFrame:
     """One-pass combined parse: (url_canon, host, fetch_key) from a single
     regex extraction.  The crawl hot path needs all three per URL —

@@ -16,9 +16,12 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     assert approx, "bucketed ANN returned no candidates"
     recall = len(set(exact) & set(approx)) / len(exact)
     print(f"# ann_lsh_topk recall@10 = {recall:.2f} ({len(approx)} returned)")
-    # 6 tables x (8-plane bucket + hamming<=1 probes): recall compounds
-    # across tables (deterministic per fixture; 0.5-0.7 at the test SFs)
-    assert recall >= 0.4
+    # 16 tables x (8-plane bucket + hamming<=1 probes): recall compounds
+    # across tables (deterministic per fixture; measured 0.7 at sf0.001,
+    # 0.9 at sf0.01 — the fixtures' near-random embeddings are the
+    # adversarial case, see similarity._N_TABLES).  Floor just below
+    # measured so a half-recall regression fails loudly.
+    assert recall >= 0.6
 
 
 def test_knn_centroid_agrees_with_all_pairs(spark):
@@ -40,5 +43,6 @@ def test_ann_ivf_recall_vs_brute_force(spark):
     recall = len(set(exact) & set(approx)) / len(exact)
     print(f"# ann_ivf_topk recall@10 = {recall:.2f} ({len(approx)} returned)")
     # 4-of-16 cells probed: nearest-cell candidates must recover a
-    # non-trivial share of the exact top-10
-    assert recall >= 0.2
+    # non-trivial share of the exact top-10 (measured 0.5; floor just
+    # below measured)
+    assert recall >= 0.4

@@ -91,3 +91,24 @@ def test_components_merge_chain_into_one_cluster(spark, edge_sf):
     assert {out[d] for d in chain} == {(300, 12)}
     # exact-dup pair 4/5 and near-dup 6 form one separate component
     assert out[4] == out[5] == out[6] == (4, 3)
+
+
+def test_two_phase_cc_matches_min_label_and_converges_in_log_rounds(spark, edge_sf):
+    """The O(log n) large-star/small-star contraction must agree
+    label-for-label with the O(diameter) min-label oracle, and the
+    12-hop chain (min-label needs ~11 rounds) must converge in
+    <= ceil(log2 12) + 2 = 6 star rounds."""
+    import math
+
+    pairs = (
+        dedup.dedup_ngram_jaccard(spark, edge_sf)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    fast, fast_rounds = dedup.cc_two_phase(pairs, n_parts=4)
+    slow, slow_rounds = dedup.cc_min_label(pairs, n_parts=4)
+    got = {(r.node, r.lab) for r in fast.collect()}
+    want = {(r.node, r.lab) for r in slow.collect()}
+    assert got == want
+    assert slow_rounds >= 11  # the chain really is the O(diameter) case
+    assert fast_rounds <= math.ceil(math.log2(12)) + 2

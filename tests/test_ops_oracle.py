@@ -60,23 +60,12 @@ def _oracle_names():
     return sorted(e.oracle_sql().keys())
 
 
-def _sf_oracle(name: str, sql: str) -> str:
-    """The committed oracle_sql() targets the driver's sf0.01 gate; when
-    pytest runs at another SF, repoint the crawl golden to that SF's file
-    (generated by tests/make_golden.py)."""
-    if name == "crawl_bfs_trace":
-        tag = os.path.basename(os.path.normpath(SF_DIR)).replace(".", "_")
-        path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "golden", f"crawl_bfs_trace_{tag}.parquet"
-        )
-        return f"SELECT * FROM read_parquet('{path}')"
-    return sql
-
-
 @pytest.mark.parametrize("name", _oracle_names())
 def test_query_matches_oracle(name, spark, duck, contract):
+    # the crawl/export golden oracles are sf-adaptive (they select the
+    # committed golden by the registered customer view's row count), so
+    # the SQL runs unmodified at every pytest SF — same as the driver.
     queries, oracles = contract
-    oracles = {k: _sf_oracle(k, v) for k, v in oracles.items()}
     sdf = queries[name](spark, SF_DIR)
     srows = sdf.collect()
     scols = sdf.columns
