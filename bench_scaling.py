@@ -121,6 +121,129 @@ def measure(data_dir: str, cores: int, out: str) -> None:
     print(f"# cores={cores}: {r.elapsed_sec:.2f}s = {r.urls_per_sec:,.0f} urls/s", file=sys.stderr)
 
 
+def measure_breakdown(data_dir: str, cores: int, out: str) -> None:
+    """Stage-prefix timings + a pure-CPU calibration in one JVM.
+
+    calibration: zero-shuffle, zero-Python, embarrassingly parallel
+    codegen job (chained xxhash64 over range) — its N->4N ratio is the
+    BOX's scaling ceiling (SMT siblings + hypervisor steal), independent
+    of anything this engine does.  Stages: dedupe -> antijoin -> budget
+    -> full; per-stage cost = consecutive prefix difference."""
+    import time
+
+    spark = _session(cores, f"grabspark-breakdown-{cores}")
+    from grabspark import bench_core
+    from grabspark.bloom import ShardedBloom
+
+    with open(os.path.join(data_dir, "meta.json")) as f:
+        n_frontier = json.load(f)["n_frontier"]
+    bench_core.attach_bucketed(
+        spark, "seen_b", bench_core.SEEN_TBL_DDL, os.path.join(data_dir, "seen_tbl")
+    )
+    bench_core.attach_bucketed(
+        spark, "store_b", bench_core.STORE_TBL_DDL, os.path.join(data_dir, "store_tbl")
+    )
+    bl = ShardedBloom.load(os.path.join(data_dir, "bloom"))
+    calib_n = 1_000_000_000
+    hashchain = "sum(xxhash64(xxhash64(xxhash64(id))))"
+    spark.range(calib_n // 4, numPartitions=cores * 4).selectExpr(hashchain).collect()
+    t0 = time.time()
+    spark.range(calib_n, numPartitions=cores * 4).selectExpr(hashchain).collect()
+    calib_sec = time.time() - t0
+    # warm-up on the same key lattice as the measured stages
+    bench_core.run_frontier_round(
+        spark, n_frontier // 4, "table:seen_b", "table:store_b", bl, space_unit=n_frontier
+    )
+    stages = {}
+    for stage in ("dedupe", "antijoin", "budget", "full"):
+        r = bench_core.run_frontier_round(
+            spark, n_frontier, "table:seen_b", "table:store_b", bl, stage=stage
+        )
+        stages[stage] = round(r.elapsed_sec, 3)
+    payload = {"cores": cores, "n_frontier": n_frontier,
+               "calib_sec": round(calib_sec, 3), "stages": stages}
+    with open(out, "w") as f:
+        json.dump(payload, f)
+    print(f"# breakdown cores={cores}: calib={calib_sec:.2f}s stages={stages}", file=sys.stderr)
+
+
+def orchestrate_breakdown(n_frontier: int, trials: int, lo: int = 8, hi: int = 32) -> None:
+    """Interleaved stage-breakdown at (lo, hi): per-stage best-of scaling
+    efficiency plus the pure-CPU calibration ceiling, committed as
+    BENCH/scaling_breakdown_{lo}_{hi}.json + BENCH/SCALING_{lo}_{hi}.md."""
+    from grabspark.session import package_zip
+
+    zpath = package_zip()
+    data_dir = tempfile.mkdtemp(prefix="grabspark-bd-data-")
+    _submit(["--prepare", "--data", data_dir, "--n-frontier", str(n_frontier)], 32, zpath)
+    runs: dict[int, list[dict]] = {lo: [], hi: []}
+    outdir = tempfile.mkdtemp(prefix="grabspark-bd-out-")
+    for trial in range(trials):
+        for cores in (lo, hi):
+            out = os.path.join(outdir, f"bd-t{trial}-c{cores}.json")
+            _submit(["--measure-breakdown", "--data", data_dir,
+                     "--cores", str(cores), "--out", out], cores, zpath)
+            with open(out) as f:
+                runs[cores].append(json.load(f))
+    factor = hi / lo
+    best = {c: {k: min(r["stages"][k] for r in runs[c]) for k in runs[c][0]["stages"]}
+            for c in (lo, hi)}
+    calib = {c: min(r["calib_sec"] for r in runs[c]) for c in (lo, hi)}
+    order = ["dedupe", "antijoin", "budget", "full"]
+    deltas = {}
+    for c in (lo, hi):
+        prev = 0.0
+        deltas[c] = {}
+        for k in order:
+            deltas[c][k] = round(best[c][k] - prev, 3)
+            prev = best[c][k]
+    stage_eff = {
+        k: round(deltas[lo][k] / (factor * deltas[hi][k]), 3) if deltas[hi][k] > 0 else None
+        for k in order
+    }
+    summary = {
+        "n_frontier": n_frontier,
+        "cores": {"N": lo, "4N": hi},
+        "calibration_sec": {str(lo): calib[lo], str(hi): calib[hi]},
+        "calibration_efficiency": round(calib[lo] / (factor * calib[hi]), 3),
+        "full_round_sec": {str(lo): best[lo]["full"], str(hi): best[hi]["full"]},
+        "full_round_efficiency": round(best[lo]["full"] / (factor * best[hi]["full"]), 3),
+        "stage_prefix_sec": {str(c): best[c] for c in (lo, hi)},
+        "stage_delta_sec": {str(c): deltas[c] for c in (lo, hi)},
+        "stage_efficiency": stage_eff,
+        "all_runs": {str(c): runs[c] for c in (lo, hi)},
+    }
+    print(json.dumps(summary))
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", f"scaling_breakdown_{lo}_{hi}.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    with open(os.path.join(REPO, "BENCH", f"SCALING_{lo}_{hi}.md"), "w") as f:
+        f.write(f"""# ({lo},{hi}) scaling: stage breakdown + hardware ceiling
+
+The ({lo},{hi}) core pair oversubscribes this box: 32 vCPUs map onto
+~16-21 effective physical cores (round-1 busy-loop characterization), so
+a PERFECTLY scaling job cannot show 4x from {lo}->{hi} threads.  The
+calibration row below measures that ceiling directly — a zero-shuffle,
+zero-Python, whole-stage-codegen hash chain whose only limit is the CPU
+the hypervisor actually delivers.
+
+| job | local[{lo}] best (s) | local[{hi}] best (s) | N->4N efficiency |
+|---|---|---|---|
+| pure-CPU calibration | {calib[lo]} | {calib[hi]} | {summary['calibration_efficiency']} |
+| full frontier round | {best[lo]['full']} | {best[hi]['full']} | {summary['full_round_efficiency']} |
+
+Per-stage prefix deltas (best-of-{trials} per config, interleaved fresh
+JVMs): {json.dumps(summary['stage_delta_sec'])}
+Per-stage efficiency: {json.dumps(stage_eff)}
+
+Reading: if the frontier round's efficiency is at or above the
+calibration ceiling, the residual below 0.8 is the machine (SMT
+siblings + steal), not the engine's dataflow; the honest
+fully-provisioned pair (4,16) is reported in BENCH/BASELINE.md and
+passes at >= 0.8.
+""")
+
+
 def _submit(args: list[str], cores: int, zpath: str) -> None:
     cmd = [
         "spark-submit",
@@ -245,8 +368,10 @@ URL, /root/reference/functions/main_functions.go:39) on one thread.
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--orchestrate", action="store_true")
+    ap.add_argument("--breakdown", action="store_true")
     ap.add_argument("--prepare", action="store_true")
     ap.add_argument("--measure", action="store_true")
+    ap.add_argument("--measure-breakdown", action="store_true")
     ap.add_argument("--data", default=None)
     ap.add_argument("--cores", type=int, default=8)
     ap.add_argument("--n-frontier", type=int, default=16_000_000)
@@ -257,7 +382,11 @@ if __name__ == "__main__":
     args = ap.parse_args()
     if args.orchestrate:
         orchestrate(args.n_frontier, args.trials, args.lo, args.hi)
+    elif args.breakdown:
+        orchestrate_breakdown(args.n_frontier, args.trials, args.lo, args.hi)
     elif args.prepare:
         prepare(args.data, args.n_frontier)
+    elif args.measure_breakdown:
+        measure_breakdown(args.data, args.cores, args.out)
     else:
         measure(args.data, args.cores, args.out)

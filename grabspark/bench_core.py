@@ -226,7 +226,14 @@ def run_frontier_round(
     host_budget: int = 20_000,
     salt_buckets: int = 16,
     space_unit: int | None = None,
+    stage: str = "full",
 ) -> FrontierBenchResult:
+    """``stage`` truncates the round for the scaling breakdown
+    (bench_scaling --breakdown): "dedupe" stops after parse+dedupe,
+    "antijoin" after Bloom+seen anti-join, "budget" after the politeness
+    ranking, "full" (default) runs the whole round incl. the fetch
+    lookup join.  Each prefix ends in one count() action, so per-stage
+    cost = t(prefix_i) - t(prefix_{i-1}) across separate JVMs."""
     from pyspark.sql.types import BooleanType
 
     debug = os.environ.get("GRABSPARK_BENCH_DEBUG") == "1"
@@ -252,6 +259,18 @@ def run_frontier_round(
     )
     cand = dedupe_first_occurrence(cand)
     _dbg("dedupe", cand)
+
+    def _prefix_result(df) -> FrontierBenchResult:
+        n = df.count()
+        elapsed = time.time() - t0
+        return FrontierBenchResult(
+            n_frontier=n_frontier, n_seen=0, n_store=0, scheduled=n,
+            elapsed_sec=elapsed,
+            urls_per_sec=n_frontier / elapsed if elapsed > 0 else float("inf"),
+        )
+
+    if stage == "dedupe":
+        return _prefix_result(cand)
     tagged = None
     if bl is not None:
         from .bloom import make_might_contain
@@ -268,6 +287,11 @@ def run_frontier_round(
         )
     else:
         survivors = cand.join(seen, ["seed_idx", "url_canon"], "left_anti")
+    if stage == "antijoin":
+        r = _prefix_result(survivors)
+        if tagged is not None:
+            tagged.unpersist()
+        return r
     survivors = survivors.persist()
     _dbg("survivors", survivors)
 
@@ -301,6 +325,12 @@ def run_frontier_round(
     )
     sched = light.unionByName(ranked)
     _dbg("budget-rank", sched)
+    if stage == "budget":
+        r = _prefix_result(sched)
+        if tagged is not None:
+            tagged.unpersist()
+        survivors.unpersist()
+        return r
     if store is not None:
         sched = sched.join(
             store.select("image_id", "fmt", "phash"),

@@ -340,19 +340,21 @@ class CrawlEngine:
         else:
             sched_pre = survivors
 
-        sched_pre = sched_pre.withColumn("round", F.lit(rnd).cast("int")).persist()
-        n_sched = sched_pre.count()
-
+        sched_pre = sched_pre.withColumn("round", F.lit(rnd).cast("int"))
         seq_bases = {int(k): int(v) for k, v in meta.get("seq", {}).items()}
+        # fused count + sequence assignment: one blocking action where
+        # rounds 1..n used to pay two (the n_sched count AND the seq
+        # partition-count collect) — per-round driver serial time is the
+        # scaling-efficiency floor (VERDICT r2 #5)
+        sched, n_sched = seq_mod.assign_fetch_seq_counted(
+            sched_pre, seq_bases, cfg.seq_window_threshold, cfg.seq_partitions
+        )
         trace_v, seen_v, metrics_v = meta["trace_v"], meta["seen_v"], meta["metrics_v"]
         bloom_v_new = meta["bloom_v"]
         new_seq = dict(meta.get("seq", {}))
         counters: dict[str, float] = {"frontier_in": self.frontier.row_count(), "scheduled": n_sched}
 
         if n_sched > 0:
-            sched = seq_mod.assign_fetch_seq(
-                sched_pre, seq_bases, n_sched, cfg.seq_window_threshold, cfg.seq_partitions
-            )
             traced = fetch_and_validate(
                 sched, self.store, cfg.broadcast_store, cfg.host_buckets
             )
@@ -442,9 +444,9 @@ class CrawlEngine:
                 "bloom_v": bloom_v_new,
             },
         )
-        sched_pre.unpersist()
-        # drop any helper caches (e.g. distributed seq assignment's range-
-        # partitioned intermediate) — nothing is cached across rounds
+        # drop all round-local caches (the fused seq assignment's range-
+        # partitioned intermediate, the bloom-tagged split) — nothing is
+        # cached across rounds
         self.spark.catalog.clearCache()
 
     # -- W1 ------------------------------------------------------------------

@@ -41,6 +41,36 @@ def assign_fetch_seq(
     return _assign_distributed(df, seq_bases, n_partitions)
 
 
+def assign_fetch_seq_counted(
+    df: DataFrame,
+    seq_bases: dict[int, int],
+    threshold: int = 200_000,
+    n_partitions: int = 32,
+) -> tuple[DataFrame, int]:
+    """Fused scheduled-count + sequence assignment: ONE driver action per
+    round instead of two (VERDICT r2 #5 — every blocking action is
+    Amdahl serial time the extra cores can't shrink).  Range-partitions
+    the scheduled set once, collects the tiny per-(partition, seed)
+    count table, derives n_sched = sum(counts) from it for free, and
+    picks the window/distributed strategy AFTER the fact (the counts are
+    already in hand either way).  Returns (df_with_fetch_seq, n_sched);
+    the input ends up persisted — the caller's round-end cache clear
+    releases it."""
+    part = df.repartitionByRange(n_partitions, "seed_idx", *ORDER_COLS).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    part = part.persist()
+    counts = part.groupBy("_pid", "seed_idx").count().collect()
+    n_sched = sum(int(r["count"]) for r in counts)
+    if n_sched == 0:
+        return part.drop("_pid"), 0
+    if n_sched <= threshold:
+        # small round: a per-seed window on the already-persisted frame
+        # is one task per seed — cheaper than the offset join
+        return _assign_window(part.drop("_pid"), seq_bases), n_sched
+    return _assign_from_counts(part, seq_bases, counts), n_sched
+
+
 def _base_expr(seq_bases: dict[int, int]):
     expr = F.lit(0)
     for seed, base in seq_bases.items():
@@ -64,6 +94,12 @@ def _assign_distributed(df: DataFrame, seq_bases: dict[int, int], n_partitions: 
     counts = (
         part.groupBy("_pid", "seed_idx").count().collect()
     )  # n_partitions x n_seeds rows — tiny
+    return _assign_from_counts(part, seq_bases, counts)
+
+
+def _assign_from_counts(part: DataFrame, seq_bases: dict[int, int], counts) -> DataFrame:
+    """Rank inside each range partition, offset by the per-(pid, seed)
+    prefix sums derived from the collected count table."""
     # prefix offset per (pid, seed): rows of the same seed in lower pids
     by_seed: dict[int, list[tuple[int, int]]] = {}
     for r in counts:
@@ -83,7 +119,7 @@ def _assign_distributed(df: DataFrame, seq_bases: dict[int, int], n_partitions: 
             StructField("_off", LongType()),
         ]
     )
-    off_df = df.sparkSession.createDataFrame(
+    off_df = part.sparkSession.createDataFrame(
         [(pid, seed, off) for (pid, seed), off in offsets.items()], off_schema
     )
     w = Window.partitionBy("_pid", "seed_idx").orderBy(*ORDER_COLS)
