@@ -145,7 +145,8 @@ def measure_breakdown(data_dir: str, cores: int, out: str) -> None:
     )
     bl = ShardedBloom.load(os.path.join(data_dir, "bloom"))
     calib_n = 1_000_000_000
-    hashchain = "sum(xxhash64(xxhash64(xxhash64(id))))"
+    # bit_xor, not sum: summing 1e9 random int64s overflows under ANSI
+    hashchain = "bit_xor(xxhash64(xxhash64(xxhash64(id))))"
     spark.range(calib_n // 4, numPartitions=cores * 4).selectExpr(hashchain).collect()
     t0 = time.time()
     spark.range(calib_n, numPartitions=cores * 4).selectExpr(hashchain).collect()
