@@ -144,7 +144,7 @@ def measure_breakdown(data_dir: str, cores: int, out: str) -> None:
         spark, "store_b", bench_core.STORE_TBL_DDL, os.path.join(data_dir, "store_tbl")
     )
     bl = ShardedBloom.load(os.path.join(data_dir, "bloom"))
-    calib_n = 1_000_000_000
+    calib_n = 8_000_000_000  # ~5s at 32 cores: long enough to dwarf task-scheduling overhead
     # bit_xor, not sum: summing 1e9 random int64s overflows under ANSI
     hashchain = "bit_xor(xxhash64(xxhash64(xxhash64(id))))"
     spark.range(calib_n // 4, numPartitions=cores * 4).selectExpr(hashchain).collect()
@@ -186,9 +186,17 @@ def orchestrate_breakdown(n_frontier: int, trials: int, lo: int = 8, hi: int = 3
                      "--cores", str(cores), "--out", out], cores, zpath)
             with open(out) as f:
                 runs[cores].append(json.load(f))
+    aggregate_breakdown(runs, n_frontier, trials, lo, hi)
+
+
+def aggregate_breakdown(runs: dict[int, list[dict]], n_frontier: int,
+                        trials: int, lo: int, hi: int) -> None:
     factor = hi / lo
-    best = {c: {k: min(r["stages"][k] for r in runs[c]) for k in runs[c][0]["stages"]}
-            for c in (lo, hi)}
+    # per-stage numbers must come from ONE trial (the best-by-full-round
+    # one): mixing the per-stage minima across trials can invert prefix
+    # order under this box's 5-10x steal variance (a fast "budget" from a
+    # calm window vs a stolen "full" from a noisy one)
+    best = {c: min(runs[c], key=lambda r: r["stages"]["full"])["stages"] for c in (lo, hi)}
     calib = {c: min(r["calib_sec"] for r in runs[c]) for c in (lo, hi)}
     order = ["dedupe", "antijoin", "budget", "full"]
     deltas = {}
@@ -196,7 +204,7 @@ def orchestrate_breakdown(n_frontier: int, trials: int, lo: int = 8, hi: int = 3
         prev = 0.0
         deltas[c] = {}
         for k in order:
-            deltas[c][k] = round(best[c][k] - prev, 3)
+            deltas[c][k] = round(max(best[c][k] - prev, 0.0), 3)
             prev = best[c][k]
     stage_eff = {
         k: round(deltas[lo][k] / (factor * deltas[hi][k]), 3) if deltas[hi][k] > 0 else None
@@ -219,29 +227,38 @@ def orchestrate_breakdown(n_frontier: int, trials: int, lo: int = 8, hi: int = 3
     with open(os.path.join(REPO, "BENCH", f"scaling_breakdown_{lo}_{hi}.json"), "w") as f:
         json.dump(summary, f, indent=1)
     with open(os.path.join(REPO, "BENCH", f"SCALING_{lo}_{hi}.md"), "w") as f:
-        f.write(f"""# ({lo},{hi}) scaling: stage breakdown + hardware ceiling
+        f.write(f"""# ({lo},{hi}) scaling: hardware ceiling + stage breakdown
 
 The ({lo},{hi}) core pair oversubscribes this box: 32 vCPUs map onto
 ~16-21 effective physical cores (round-1 busy-loop characterization), so
 a PERFECTLY scaling job cannot show 4x from {lo}->{hi} threads.  The
-calibration row below measures that ceiling directly — a zero-shuffle,
-zero-Python, whole-stage-codegen hash chain whose only limit is the CPU
-the hypervisor actually delivers.
+calibration row measures that ceiling directly — a zero-shuffle,
+zero-Python, zero-join whole-stage-codegen hash chain
+(`bit_xor(xxhash64^3(id))` over `spark.range`) whose only limit is the
+CPU the hypervisor actually delivers.
 
-| job | local[{lo}] best (s) | local[{hi}] best (s) | N->4N efficiency |
+| job | local[{lo}] best (s) | local[{hi}] best (s) | {lo}->{hi} efficiency |
 |---|---|---|---|
-| pure-CPU calibration | {calib[lo]} | {calib[hi]} | {summary['calibration_efficiency']} |
-| full frontier round | {best[lo]['full']} | {best[hi]['full']} | {summary['full_round_efficiency']} |
+| pure-CPU calibration (ceiling) | {calib[lo]} | {calib[hi]} | **{summary['calibration_efficiency']}** |
+| full frontier round | {best[lo]['full']} | {best[hi]['full']} | **{summary['full_round_efficiency']}** |
 
-Per-stage prefix deltas (best-of-{trials} per config, interleaved fresh
-JVMs): {json.dumps(summary['stage_delta_sec'])}
-Per-stage efficiency: {json.dumps(stage_eff)}
+Reading: compare the full-round efficiency against the calibration
+ceiling — the ceiling is the best ANY job can do on this pair; the
+fully-provisioned pair (4,16), both configs within physical cores, is
+the criterion-grade measurement (BENCH/BASELINE.md).  This generated
+file is a template; the committed SCALING_8_32.md carries the analyzed
+version with the measured numbers in context.
 
-Reading: if the frontier round's efficiency is at or above the
-calibration ceiling, the residual below 0.8 is the machine (SMT
-siblings + steal), not the engine's dataflow; the honest
-fully-provisioned pair (4,16) is reported in BENCH/BASELINE.md and
-passes at >= 0.8.
+Stage-prefix raw data (each prefix ends in one count action; separate
+measured runs inside one JVM, {trials} interleaved fresh-JVM trials per
+config; steal bursts of 5-10x can strike mid-JVM, so treat per-stage
+DELTAS as indicative only — prefix inversions in noisy windows are the
+variance, not the pipeline):
+
+- prefix seconds (best trial by full-round time): {json.dumps(summary['stage_prefix_sec'])}
+- per-stage deltas from that trial: {json.dumps(summary['stage_delta_sec'])}
+- per-stage efficiency (None where the delta degenerates): {json.dumps(stage_eff)}
+- all trials: see scaling_breakdown_{lo}_{hi}.json `all_runs`.
 """)
 
 
