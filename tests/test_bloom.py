@@ -72,10 +72,21 @@ def test_contains_speed():
     # warm-up absorbs sandbox CPU-throttle ramp (first numpy burst after
     # idle can be ~100x slower than steady state on this box)
     bl.contains(probe.head(10_000))
+    # best-of-3: hypervisor-steal bursts on this box can stall ANY python
+    # for minutes (one full-suite run measured 178s for this probe, then
+    # 0.3s in isolation); the regression this guards — a per-shard python
+    # loop — is slow on EVERY attempt, so the minimum is the honest signal
+    best = min(_timed_contains(bl, probe) for _ in range(3))
+    # steady-state ~0.3s; the per-shard loop this guards against took ~17s
+    assert best < 8.0
+
+
+def _timed_contains(bl, probe):
+    import time
+
     t0 = time.time()
     bl.contains(probe)
-    # steady-state ~0.3s; the per-shard loop this guards against took ~17s
-    assert time.time() - t0 < 8.0
+    return time.time() - t0
 
 
 # -- partitioned mode (J2 scale path) ----------------------------------------
