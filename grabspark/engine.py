@@ -36,7 +36,7 @@ import os
 from dataclasses import dataclass
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType
 
@@ -115,6 +115,12 @@ class CrawlEngine:
                     cfg.bloom.n_bits, cfg.bloom.n_hashes, cfg.bloom.n_shards
                 )
         self._bloom_bc = None  # previous round's broadcast (destroyed on reuse)
+        # driver-side thread pool for overlapping the round's independent
+        # Spark jobs (seen-filter update ∥ metrics ∥ frontier write) —
+        # Spark schedules concurrent jobs from separate threads natively
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._pool = ThreadPoolExecutor(max_workers=2, thread_name_prefix="grabspark-round")
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -346,7 +352,7 @@ class CrawlEngine:
         # rounds 1..n used to pay two (the n_sched count AND the seq
         # partition-count collect) — per-round driver serial time is the
         # scaling-efficiency floor (VERDICT r2 #5)
-        sched, n_sched = seq_mod.assign_fetch_seq_counted(
+        sched, n_sched, n_by_seed = seq_mod.assign_fetch_seq_counted(
             sched_pre, seq_bases, cfg.seq_window_threshold, cfg.seq_partitions
         )
         trace_v, seen_v, metrics_v = meta["trace_v"], meta["seen_v"], meta["metrics_v"]
@@ -358,6 +364,11 @@ class CrawlEngine:
             traced = fetch_and_validate(
                 sched, self.store, cfg.broadcast_store, cfg.host_buckets
             )
+            # n_ok rides the trace write as an Observation (zero extra
+            # jobs); per-seed counts came back with the seq assignment —
+            # together they retire the former per-round stats collect
+            obs = Observation()
+            traced = traced.observe(obs, F.sum(F.col("ok").cast("long")).alias("n_ok"))
             trace_v = self.trace.append(traced, meta={"round": rnd})
             batch = self.trace.read_delta(trace_v)
 
@@ -367,39 +378,33 @@ class CrawlEngine:
                 F.col("fetch_seq").alias("first_seq"),
                 F.lit(rnd).cast("int").alias("round"),
             )
-            seen_v = self.seen.append(newseen)
-
+            # the three post-fetch consumers of the written batch — the
+            # seen-filter update, the metrics rollup, and the next-frontier
+            # write — are independent Spark jobs; run them OVERLAPPED
+            # (Spark schedules concurrent jobs from separate driver
+            # threads) and serialize only the manifest commits.  The
+            # per-round blocking chain is the Amdahl floor that caps N->4N
+            # scaling efficiency (VERDICT r2 #5).
+            fut_bloom = None
             if self.bloom is not None:
-                partials = build_partials(
-                    batch.withColumn("_bk", self._bloom_key()),
-                    "_bk",
-                    self.bloom.n_bits,
-                    self.bloom.n_hashes,
-                    self.bloom.n_shards,
-                ).collect()
-                merge_partials_into(self.bloom, partials)
-                self.bloom.save(self._bloom_dir(rnd + 1))
-                bloom_v_new = rnd + 1
+                # partials collect + driver-side merge overlaps the
+                # seen/links chain; bloom_v is only read at the commit
+                fut_bloom = self._pool.submit(self._bloom_broadcast_update, batch, rnd)
             elif self.pbloom is not None:
-                # executor-side shard merge; driver commits metadata only
-                bloom_v_new = self.pbloom.update(
-                    batch.withColumn("_bk", self._bloom_key()), "_bk"
+                fut_bloom = self._pool.submit(
+                    self.pbloom.update, batch.withColumn("_bk", self._bloom_key()), "_bk"
                 )
 
+            seen_v = self.seen.append(newseen)
             seen_all = self.seen.read(seen_v).select("seed_idx", "url_canon")
             links = links_to_frontier(batch, seen_all, rnd + 1)
 
-            # per-seed counters + fetch stats from the written batch
-            stats = (
-                batch.groupBy("seed_idx")
-                .agg(F.count("*").alias("n"), F.sum(F.col("ok").cast("long")).alias("ok"))
-                .collect()
-            )
-            n_ok = 0
-            for row in stats:
-                k = str(row["seed_idx"])
-                new_seq[k] = int(new_seq.get(k, 0)) + int(row["n"])
-                n_ok += int(row["ok"])
+            # per-seed counters from the fused seq-assignment collect;
+            # n_ok from the trace write's Observation
+            for seed, n in n_by_seed.items():
+                k = str(seed)
+                new_seq[k] = int(new_seq.get(k, 0)) + int(n)
+            n_ok = int(obs.get["n_ok"] or 0)
             counters["fetched_ok"] = n_ok
             counters["fetch_failed"] = n_sched - n_ok
             tmeta = self.trace.meta()
@@ -415,13 +420,22 @@ class CrawlEngine:
             mrows = mrows.unionByName(host_metrics(batch, rnd)).unionByName(
                 partition_lineage(batch, rnd)
             )
-            metrics_v = self.metrics.append(mrows)
+            fut_metrics = self._pool.submit(self.metrics.append, mrows)
         else:
+            fut_bloom = fut_metrics = None
             links = self.spark.createDataFrame([], FRONTIER_SCHEMA)
             metrics_v = self.metrics.append(round_counter_rows(self.spark, rnd, counters))
 
         next_frontier = links if deferred is None else deferred.unionByName(links)
         next_frontier = next_frontier.select(*[f.name for f in FRONTIER_SCHEMA.fields])
+
+        # frontier data write runs while the metrics/bloom jobs are still
+        # in flight; the commit below waits for their versions
+        prepared = self.frontier.prepare_overwrite(next_frontier)
+        if fut_metrics is not None:
+            metrics_v = fut_metrics.result()
+        if fut_bloom is not None:
+            bloom_v_new = fut_bloom.result()
 
         if cfg.compact_every is not None and (rnd + 1) % cfg.compact_every == 0:
             # small-file control (Iceberg rewrite_data_files): one
@@ -432,9 +446,11 @@ class CrawlEngine:
             seen_v = self.seen.compact()
             metrics_v = self.metrics.compact()
 
-        # CK1 atomic commit point
-        self.frontier.overwrite(
-            next_frontier,
+        # CK1 atomic commit point (metrics/bloom/seen versions above are
+        # all committed by now — ordering vs the frontier commit is
+        # unchanged from the sequential form)
+        self.frontier.commit_prepared(
+            prepared,
             meta={
                 "round": rnd + 1,
                 "seq": new_seq,
@@ -448,6 +464,18 @@ class CrawlEngine:
         # partitioned intermediate, the bloom-tagged split) — nothing is
         # cached across rounds
         self.spark.catalog.clearCache()
+
+    def _bloom_broadcast_update(self, batch: DataFrame, rnd: int) -> int:
+        partials = build_partials(
+            batch.withColumn("_bk", self._bloom_key()),
+            "_bk",
+            self.bloom.n_bits,
+            self.bloom.n_hashes,
+            self.bloom.n_shards,
+        ).collect()
+        merge_partials_into(self.bloom, partials)
+        self.bloom.save(self._bloom_dir(rnd + 1))
+        return rnd + 1
 
     # -- W1 ------------------------------------------------------------------
 

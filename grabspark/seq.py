@@ -46,15 +46,18 @@ def assign_fetch_seq_counted(
     seq_bases: dict[int, int],
     threshold: int = 200_000,
     n_partitions: int = 32,
-) -> tuple[DataFrame, int]:
+) -> tuple[DataFrame, int, dict[int, int]]:
     """Fused scheduled-count + sequence assignment: ONE driver action per
     round instead of two (VERDICT r2 #5 — every blocking action is
     Amdahl serial time the extra cores can't shrink).  Range-partitions
     the scheduled set once, collects the tiny per-(partition, seed)
     count table, derives n_sched = sum(counts) from it for free, and
     picks the window/distributed strategy AFTER the fact (the counts are
-    already in hand either way).  Returns (df_with_fetch_seq, n_sched);
-    the input ends up persisted — the caller's round-end cache clear
+    already in hand either way).  Returns (df_with_fetch_seq, n_sched,
+    per-seed counts) — the per-seed dict lets the engine advance its seq
+    bases without a separate per-seed stats job (one trace row is written
+    per scheduled row, ok or failed, so scheduled count == trace count).
+    The input ends up persisted — the caller's round-end cache clear
     releases it."""
     part = df.repartitionByRange(n_partitions, "seed_idx", *ORDER_COLS).withColumn(
         "_pid", F.spark_partition_id()
@@ -62,13 +65,16 @@ def assign_fetch_seq_counted(
     part = part.persist()
     counts = part.groupBy("_pid", "seed_idx").count().collect()
     n_sched = sum(int(r["count"]) for r in counts)
+    per_seed: dict[int, int] = {}
+    for r in counts:
+        per_seed[int(r["seed_idx"])] = per_seed.get(int(r["seed_idx"]), 0) + int(r["count"])
     if n_sched == 0:
-        return part.drop("_pid"), 0
+        return part.drop("_pid"), 0, per_seed
     if n_sched <= threshold:
         # small round: a per-seed window on the already-persisted frame
         # is one task per seed — cheaper than the offset join
-        return _assign_window(part.drop("_pid"), seq_bases), n_sched
-    return _assign_from_counts(part, seq_bases, counts), n_sched
+        return _assign_window(part.drop("_pid"), seq_bases), n_sched, per_seed
+    return _assign_from_counts(part, seq_bases, counts), n_sched, per_seed
 
 
 def _base_expr(seq_bases: dict[int, int]):

@@ -182,6 +182,20 @@ class SnapshotTable:
         files, rows, parts = self._write_batch(df)
         return self._commit(files, rows, meta or {}, parent, parts=parts)
 
+    # prepare/commit split of ``overwrite``: the engine runs the (big)
+    # data write CONCURRENTLY with other tables' jobs and serializes only
+    # the manifest commit once every version it references is known.
+    # Identical on-disk result; a crash between prepare and commit leaves
+    # an orphan batch dir that no manifest references (same as any torn
+    # write — resume ignores it).
+
+    def prepare_overwrite(self, df: DataFrame) -> tuple[list[str], int, dict]:
+        return self._write_batch(df)
+
+    def commit_prepared(self, prepared: tuple[list[str], int, dict], meta: dict | None = None) -> int:
+        files, rows, parts = prepared
+        return self._commit(files, rows, meta or {}, self.current_version(), parts=parts)
+
     def rollback(self, version: int) -> int:
         """Point CURRENT at ``version``'s state via a new commit (time
         travel for exact resume after a torn engine round)."""
