@@ -382,3 +382,32 @@ def test_robots_wildcard_patterns(spark):
         "http://h.test/aab",
         "http://h.test/tie/x",
     }
+
+
+def test_snapshot_prepare_commit_split_and_torn_prepare(spark, tmp_path):
+    """prepare_overwrite/commit_prepared == overwrite on disk; a crash
+    BETWEEN prepare and commit (engine.py runs the data write overlapped
+    with other tables' jobs) leaves only an unreferenced batch dir —
+    reads at every committed version are unaffected and expire_snapshots
+    still never deletes referenced files."""
+    t = SnapshotTable(spark, str(tmp_path / "pc"))
+    df = lambda *vals: spark.createDataFrame([(v,) for v in vals], "x int")
+    v0 = t.overwrite(df(1, 2), meta={"round": 0})
+
+    # normal prepared commit: same observable result as overwrite()
+    prep = t.prepare_overwrite(df(3, 4, 5))
+    v1 = t.commit_prepared(prep, meta={"round": 1})
+    assert v1 > v0
+    assert {r.x for r in t.read().collect()} == {3, 4, 5}
+    assert t.meta()["round"] == 1
+    assert {r.x for r in t.read(v0).collect()} == {1, 2}
+
+    # torn prepare: write the batch, then "crash" (never commit)
+    orphan_files, _, _ = t.prepare_overwrite(df(99))
+    assert all(os.path.exists(f) for f in orphan_files)
+    # a fresh handle (resume) sees the committed state only
+    t2 = SnapshotTable(spark, str(tmp_path / "pc"))
+    assert t2.current_version() == v1
+    assert {r.x for r in t2.read().collect()} == {3, 4, 5}
+    m = t2.manifest(v1)
+    assert not set(orphan_files) & set(m["files"])
