@@ -48,14 +48,21 @@ GROUP BY md5(text)
 """
 
 
-def _shingles_df(spark: SparkSession, sf: str, n: int = 3) -> DataFrame:
+def _shingles_df(
+    spark: SparkSession, sf: str, n: int = 3, distinct: bool = True
+) -> DataFrame:
     """Distinct word n-gram shingles per doc (posexplode over positions).
 
     Docs shorter than ``n`` tokens emit no shingles (guarded: a bare
     ``sequence(1, size-2)`` is DESCENDING [1,0] for short docs, which
     under Spark 4 ANSI mode throws INVALID_ARRAY_INDEX on toks[i+1];
     DuckDB's generate_series(1,0) is empty, so the guard also keeps the
-    engines in agreement on empty/short documents)."""
+    engines in agreement on empty/short documents).
+
+    ``distinct=False`` skips the dedupe shuffle for consumers whose next
+    step dedupes anyway (a set-semantics aggregate like collect_set, or
+    MIN over a hash of the shingle) — the raw exploded rows are a narrow
+    map-side stream in that case."""
     d = T(spark, sf, "documents").select("doc_id", F.expr(_TOKENS).alias("toks"))
     sh = d.select(
         "doc_id",
@@ -68,7 +75,7 @@ def _shingles_df(spark: SparkSession, sf: str, n: int = 3) -> DataFrame:
             )
         ).alias("shingle"),
     )
-    return sh.distinct()
+    return sh.distinct() if distinct else sh
 
 
 _SHINGLES_DUCK = """
@@ -92,10 +99,12 @@ def ngram_hot_shingles(spark: SparkSession, sf: str) -> DataFrame:
     document-frequency guard and how many postings each removes.  At
     production scale this is the 'logged what was dropped' record; here
     it is a graded query with its own DuckDB oracle."""
-    sh = _shingles_df(spark, sf)
+    # countDistinct replaces the upstream explode→distinct: both the
+    # dedupe and the df count key on shingle, so one exchange serves both
+    sh = _shingles_df(spark, sf, distinct=False)
     return (
         sh.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
+        .agg(F.countDistinct("doc_id").alias("df"))
         .filter(F.col("df") > _MAX_DF)
         .select("shingle", "df")
     )
@@ -108,30 +117,42 @@ SELECT shingle, count(*) AS df FROM sh GROUP BY shingle HAVING count(*) > {_MAX_
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    """Near-dup pairs by 3-token-shingle Jaccard: inverted-index self-join
-    on shingle, integer threshold 20*inter >= 1*union (J >= 0.05).
-    Shingles with document frequency > _MAX_DF are stop-listed before the
-    join (hot-shingle quadratic-blowup guard; see ngram_hot_shingles for
-    the audit query).  Output: (doc_a, doc_b, inter, union_size) with
-    doc_a < doc_b."""
-    sh_all = _shingles_df(spark, sf)
-    ok = (
+    """Near-dup pairs by 3-token-shingle Jaccard: inverted-index posting
+    lists, integer threshold 20*inter >= 1*union (J >= 0.05).  Shingles
+    with document frequency > _MAX_DF are stop-listed (hot-shingle
+    quadratic-blowup guard; see ngram_hot_shingles for the audit query).
+    Output: (doc_a, doc_b, inter, union_size) with doc_a < doc_b.
+
+    Shape: ONE shuffle groups postings per shingle (collect_set has a
+    map-side partial); the stop-list is a size() filter on the grouped
+    array — no second aggregate, no semi-join — and the candidate pairs
+    expand IN-ARRAY (nested transform over <=_MAX_DF sorted doc_ids,
+    <=4,950 pairs per shingle, bounded by construction), replacing the
+    postings self-join.  The df<=100 cap is what makes the array form
+    the 100 TB shape too: the unbounded-bucket case (where a join +
+    AQE skew handling would be required) is excluded before grouping."""
+    # collect_set is set-semantics, so the explode→distinct shuffle is
+    # redundant here — the raw exploded stream feeds the grouping directly
+    sh_all = _shingles_df(spark, sf, distinct=False)
+    posting = (
         sh_all.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= _MAX_DF)
-        .select("shingle")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
+        .filter(F.size("docs") <= _MAX_DF)
+    ).persist()
+    sizes = posting.select(F.explode("docs").alias("doc_id")).groupBy("doc_id").agg(
+        F.count("*").alias("sz")
     )
-    # left-semi on the same key as the upcoming self-join: Catalyst keeps
-    # the shingle partitioning, so the guard costs one extra agg, not an
-    # extra repartition of the postings
-    sh = sh_all.join(ok, "shingle", "left_semi").persist()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("inter"))
+    pairs = posting.filter(F.size("docs") >= 2).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(docs, (da, i) -> "
+                "transform(slice(docs, i + 2, size(docs) - i - 1), "
+                "db -> struct(da AS doc_a, db AS doc_b))))"
+            )
+        ).alias("p")
+    )
+    inter = pairs.groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")).agg(
+        F.count("*").alias("inter")
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
@@ -168,8 +189,10 @@ _P, _R = 12, 3  # 4 bands x 3 rows
 
 
 def minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-doc MinHash signature (P=12 permutations, md5-string min)."""
-    sh = _shingles_df(spark, sf)
+    """Per-doc MinHash signature (P=12 permutations, md5-string min).
+    MIN is dedupe-invariant, so the shingle stream skips the distinct
+    shuffle — one exchange (doc_id) total."""
+    sh = _shingles_df(spark, sf, distinct=False)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"perm{p}|"), F.col("shingle")))).alias(f"mh{p}")
         for p in range(_P)
