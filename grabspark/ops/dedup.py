@@ -183,28 +183,66 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE inter * 20 >= (sa.sz + sb.sz - inter)
 """
 
-# MinHash: P permutations via lexicographic min of md5(seed || shingle);
-# bands of R rows -> band key md5(concat).  Portable across engines.
+# MinHash: P affine permutations over ONE md5 per shingle — the standard
+# universal-hash family h_p(x) = (a_p*x + b_p) mod (2^31 - 1).  The
+# md5-per-permutation form (min over md5('perm{p}|' || shingle)) computed
+# P=12 md5 digests per posting row and was the measured hot spot of both
+# minhash queries at sf0.1; one 28-bit digest prefix + 12 integer
+# multiply-adds gives the same independence guarantees at ~1/P the hash
+# cost.  a_p*x < 2^31 * 2^28 = 2^59 never overflows int64, so Spark and
+# DuckDB agree exactly (both evaluate in int64, results all positive).
 _P, _R = 12, 3  # 4 bands x 3 rows
+_MH_PRIME = 2147483647  # Mersenne prime 2^31 - 1
+
+# shingle -> 28-bit integer: first 7 hex chars of md5.  Spark's conv() and
+# DuckDB's '0x' cast produce identical values (both parse lowercase hex).
+_H_SHINGLE_SPARK = "CAST(conv(substring(md5(shingle), 1, 7), 16, 10) AS BIGINT)"
+_H_SHINGLE_DUCK = "CAST(('0x' || substring(md5(shingle), 1, 7)) AS BIGINT)"
+
+
+def _mh_ab(p: int) -> tuple[int, int]:
+    """Deterministic (a, b) for permutation p: md5-derived 28-bit
+    literals (a forced odd/nonzero), embedded as plan-time constants in
+    both engines' expressions."""
+    import hashlib
+
+    a = int(hashlib.md5(f"mha{p}".encode()).hexdigest()[:7], 16) | 1
+    b = int(hashlib.md5(f"mhb{p}".encode()).hexdigest()[:7], 16)
+    return a, b
+
+
+def _mh_aggs_spark() -> list:
+    out = []
+    for p in range(_P):
+        a, b = _mh_ab(p)
+        out.append(
+            F.min(F.expr(f"({a}L * h + {b}L) % {_MH_PRIME}L")).alias(f"mh{p}")
+        )
+    return out
+
+
+def _mh_aggs_duck() -> str:
+    return ", ".join(
+        f"min(({a} * h + {b}) % {_MH_PRIME}) AS mh{p}"
+        for p, (a, b) in ((p, _mh_ab(p)) for p in range(_P))
+    )
 
 
 def minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-doc MinHash signature (P=12 permutations, md5-string min).
+    """Per-doc MinHash signature (P=12 affine permutations, integer min).
     MIN is dedupe-invariant, so the shingle stream skips the distinct
     shuffle — one exchange (doc_id) total."""
-    sh = _shingles_df(spark, sf, distinct=False)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"perm{p}|"), F.col("shingle")))).alias(f"mh{p}")
-        for p in range(_P)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    sh = _shingles_df(spark, sf, distinct=False).withColumn(
+        "h", F.expr(_H_SHINGLE_SPARK)
+    )
+    return sh.groupBy("doc_id").agg(*_mh_aggs_spark())
 
 
 _MINSIG_SQL = f"""
-WITH sh AS ({_SHINGLES_DUCK})
-SELECT doc_id,
-  {', '.join(f"min(md5('perm{p}|' || shingle)) AS mh{p}" for p in range(_P))}
-FROM sh GROUP BY doc_id
+WITH sh AS ({_SHINGLES_DUCK}),
+hs AS (SELECT doc_id, {_H_SHINGLE_DUCK} AS h FROM sh)
+SELECT doc_id, {_mh_aggs_duck()}
+FROM hs GROUP BY doc_id
 """
 
 
@@ -215,16 +253,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     band bucket, and the exact verification joins shingles for CANDIDATE
     pairs only — the full pairwise shingle join never runs."""
     sh = _shingles_df(spark, sf).persist()
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"perm{p}|"), F.col("shingle")))).alias(f"mh{p}")
-            for p in range(_P)
-        ]
+    sig = sh.withColumn("h", F.expr(_H_SHINGLE_SPARK)).groupBy("doc_id").agg(
+        *_mh_aggs_spark()
     )
     # one pass: posexplode the band keys instead of unioning per-band
-    # selects (which would recompute the signature agg once per band)
+    # selects (which would recompute the signature agg once per band).
+    # Band key = plain '|'-joined int string: the key is only a join
+    # column (never output), so no digest is needed on top.
     band_keys = [
-        F.md5(F.concat_ws("|", *[F.col(f"mh{b * _R + i}") for i in range(_R)]))
+        F.concat_ws(
+            "|", *[F.col(f"mh{b * _R + i}").cast("string") for i in range(_R)]
+        )
         for b in range(_P // _R)
     ]
     allb = sig.select(
@@ -262,18 +301,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _BANDS_DUCK = " UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band, md5(concat_ws('|', "
-    + ", ".join(f"mh{b * _R + i}" for i in range(_R))
-    + ")) AS bucket FROM sig"
+    f"SELECT doc_id, {b} AS band, concat_ws('|', "
+    + ", ".join(f"CAST(mh{b * _R + i} AS VARCHAR)" for i in range(_R))
+    + ") AS bucket FROM sig"
     for b in range(_P // _R)
 )
 
 _MINHASH_SQL = f"""
 WITH sh AS ({_SHINGLES_DUCK}),
+hs AS (SELECT doc_id, shingle, {_H_SHINGLE_DUCK} AS h FROM sh),
 sig AS (
-  SELECT doc_id,
-    {', '.join(f"min(md5('perm{p}|' || shingle)) AS mh{p}" for p in range(_P))}
-  FROM sh GROUP BY doc_id
+  SELECT doc_id, {_mh_aggs_duck()}
+  FROM hs GROUP BY doc_id
 ),
 bands AS ({_BANDS_DUCK}),
 cand AS (
