@@ -51,6 +51,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_pq_topk",
     # knn_per_label (all-pairs O(n^2)) is deliberately NOT a headline: it
     # exists as the small-scale oracle twin of knn_centroid_per_label
     # (VERDICT r2 #8) and is still timed by pytest; the centroid path is
@@ -65,6 +66,9 @@ HEADLINE = [
     "winnow_fingerprints",
     "event_window_agg",
     "corpus_curation",
+    "ngram_counts",
+    "pii_scrub",
+    "sitemap_parse",
     "audio_features",
     "video_frame_sample",
     "image_features",

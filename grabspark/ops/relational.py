@@ -631,6 +631,85 @@ GROUP BY date_trunc('hour', ts), event_type
 """
 
 
+# --- X3 companion: sitemap.xml parsing --------------------------------------
+#
+# The discovery-side twin of robots_txt_parse: per-host sitemap bodies
+# (synthesized deterministically from the customer table, same device as
+# the robots query) parsed back into (host, pos, loc, lastmod, priority)
+# rows with JVM regexp_extract_all + one posexplode — the shape that
+# seeds the frontier from sitemaps at scale (a pure map over fetched
+# sitemap bodies; the explode fans out to one row per URL with document
+# order preserved in pos).
+
+
+def sitemap_parse(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer").select(
+        F.concat(F.lit("n"), F.col("c_nationkey").cast("string"), F.lit(".test")).alias(
+            "host"
+        ),
+        "c_custkey",
+        F.expr(
+            "concat('<url><loc>http://n', CAST(c_nationkey AS STRING), '.test/c', "
+            "CAST(c_custkey AS STRING), '</loc><lastmod>2026-0', "
+            "CAST(c_custkey % 9 + 1 AS STRING), '-1', CAST(c_custkey % 3 AS STRING), "
+            "'</lastmod><priority>0.', CAST(c_custkey % 10 AS STRING), "
+            "'</priority></url>')"
+        ).alias("entry"),
+    )
+    bodies = c.groupBy("host").agg(
+        F.expr(
+            "concat('<?xml version=\"1.0\"?><urlset>', "
+            "concat_ws('', transform(array_sort(collect_list(struct(c_custkey, entry))), "
+            "s -> s.entry)), '</urlset>')"
+        ).alias("body")
+    )
+    z = bodies.select(
+        "host",
+        F.expr("regexp_extract_all(body, '<loc>([^<]*)</loc>', 1)").alias("locs"),
+        F.expr("regexp_extract_all(body, '<lastmod>([^<]*)</lastmod>', 1)").alias("mods"),
+        F.expr("regexp_extract_all(body, '<priority>([^<]*)</priority>', 1)").alias(
+            "prios"
+        ),
+    )
+    return z.select(
+        "host", F.posexplode(F.arrays_zip("locs", "mods", "prios")).alias("pos", "s")
+    ).select(
+        "host",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("s.locs").alias("loc"),
+        F.col("s.mods").alias("lastmod"),
+        F.col("s.prios").alias("priority"),
+    )
+
+
+_SITEMAP_SQL = """
+WITH ent AS (
+  SELECT concat('n', CAST(c_nationkey AS VARCHAR), '.test') AS host, c_custkey,
+         concat('<url><loc>http://n', CAST(c_nationkey AS VARCHAR), '.test/c',
+                CAST(c_custkey AS VARCHAR), '</loc><lastmod>2026-0',
+                CAST(c_custkey % 9 + 1 AS VARCHAR), '-1', CAST(c_custkey % 3 AS VARCHAR),
+                '</lastmod><priority>0.', CAST(c_custkey % 10 AS VARCHAR),
+                '</priority></url>') AS entry
+  FROM customer
+),
+bodies AS (
+  SELECT host, concat('<?xml version="1.0"?><urlset>',
+                      string_agg(entry, '' ORDER BY c_custkey), '</urlset>') AS body
+  FROM ent GROUP BY host
+),
+z AS (
+  SELECT host,
+         regexp_extract_all(body, '<loc>([^<]*)</loc>', 1) AS locs,
+         regexp_extract_all(body, '<lastmod>([^<]*)</lastmod>', 1) AS mods,
+         regexp_extract_all(body, '<priority>([^<]*)</priority>', 1) AS prios
+  FROM bodies
+)
+SELECT host, CAST(i - 1 AS INT) AS pos, locs[i] AS loc, mods[i] AS lastmod,
+       prios[i] AS priority
+FROM z, LATERAL (SELECT unnest(generate_series(1, len(locs))) AS i) g
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -646,6 +725,7 @@ QUERIES = {
     "url_canon_full": url_canon_full,
     "stream_seed_ingest": stream_seed_ingest,
     "robots_txt_parse": robots_txt_parse,
+    "sitemap_parse": sitemap_parse,
     "same_host_filter": same_host_filter,
     "link_extract_explode": link_extract_explode,
     "metrics_rollup": metrics_rollup,
@@ -667,6 +747,7 @@ ORACLES = {
     "url_canon_full": _CANON_FULL_SQL,
     "stream_seed_ingest": _SEED_INGEST_SQL,
     "robots_txt_parse": _ROBOTS_PARSE_SQL,
+    "sitemap_parse": _SITEMAP_SQL,
     "same_host_filter": _SAMEHOST_SQL,
     "link_extract_explode": _EXTRACT_SQL,
     "metrics_rollup": _METRICS_SQL,

@@ -531,13 +531,179 @@ SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
 """
 
 
+# -- PQ (product-quantized) ANN: the compressed-store scale path -----------
+#
+# At 100 TB the embedding column itself is the bottleneck: 64 x float32 =
+# 256 B/vector.  Product quantization stores 8 bytes/vector (M=8 subspaces
+# x 1-byte code), a 32x compression, and scores candidates from the codes
+# alone (asymmetric distance computation): approx_dist(v) = sum over
+# subspaces of dtable[m][code_m(v)], where dtable is the query's 16x8
+# sub-distance table.  Codebooks here are deterministic data rows (the
+# sub-vectors of vec_id 1.._PQ_K — same device as the IVF pivots) so the
+# DuckDB oracle replays training, assignment, ADC, and re-rank exactly; a
+# production deployment swaps in k-means-trained codebooks, the dataflow
+# is identical.  All distances are integer-scaled (round(d2 * 1e6) as
+# BIGINT): code argmin, the ADC sum, and the candidate ordering are exact
+# integer arithmetic, immune to float summation order across engines.
+
+_PQ_M = 8      # subspaces
+_PQ_SUBD = 8   # dims per subspace (embeddings are 64-dim)
+_PQ_K = 16     # codes per subspace = sub-vectors of vec_id 1.._PQ_K
+_PQ_CAND = 50  # ADC candidates exact-rescored
+
+
+def _pq_d2_e6_spark(m: int) -> str:
+    """Integer-scaled squared L2 between subspace m of cols a (vector)
+    and p (codebook row), via the 3-dot identity so the double fold runs
+    in the same proven shape as _DOT."""
+    off = m * _PQ_SUBD + 1
+    sa, sp = f"slice(a, {off}, {_PQ_SUBD})", f"slice(p, {off}, {_PQ_SUBD})"
+
+    def dot(x: str, y: str) -> str:
+        return (
+            f"aggregate(zip_with({x}, {y}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+
+    return (
+        f"CAST(round(({dot(sa, sa)} - 2 * {dot(sa, sp)} + {dot(sp, sp)}) "
+        "* 1000000.0) AS BIGINT)"
+    )
+
+
+def _pq_codes_and_adc(spark: SparkSession, sf: str):
+    """(codes, adc): per-vector code columns c0..c{M-1} (BUILD-TIME at
+    scale: one broadcast of the K-row codebook, map-side min_by per
+    subspace, one row per vector over the shuffle — then persisted as the
+    8-byte-per-vector table), and the query's 16-row ADC table."""
+    e = T(spark, sf, "embeddings")
+    piv = e.filter(F.col("vec_id").between(1, _PQ_K)).select(
+        F.col("vec_id").alias("code_id"), F.col("embedding").alias("p")
+    )
+    dcols = [F.expr(_pq_d2_e6_spark(m)).alias(f"d{m}") for m in range(_PQ_M)]
+    base = e.filter(F.col("vec_id") != 0).select("vec_id", F.col("embedding").alias("a"))
+    bp = base.crossJoin(F.broadcast(piv)).select("vec_id", "code_id", *dcols)
+    codes = bp.groupBy("vec_id").agg(
+        *[
+            F.expr(f"min_by(code_id, struct(d{m}, code_id))").alias(f"c{m}")
+            for m in range(_PQ_M)
+        ]
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("a"))
+    adc = q.crossJoin(F.broadcast(piv)).select("code_id", *dcols)
+    return codes, adc
+
+
+def _pq_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-_PQ_CAND vec_ids by ADC score (sum of the query's sub-distance
+    table entries at each vector's codes) — the exact-rescore set.  The
+    ADC pass itself reads only codes (8 B/vector), never the vectors."""
+    codes, adc = _pq_codes_and_adc(spark, sf)
+    cexp = codes.select(
+        "vec_id",
+        F.posexplode(F.array(*[F.col(f"c{m}") for m in range(_PQ_M)])).alias(
+            "m", "code_id"
+        ),
+    )
+    aexp = adc.select(
+        "code_id",
+        F.posexplode(F.array(*[F.col(f"d{m}") for m in range(_PQ_M)])).alias("m", "qd"),
+    )
+    scored = (
+        cexp.join(F.broadcast(aexp), ["m", "code_id"])
+        .groupBy("vec_id")
+        .agg(F.sum("qd").alias("adc_e6"))
+    )
+    return (
+        scored.orderBy(F.asc("adc_e6"), F.asc("vec_id"))
+        .limit(_PQ_CAND)
+        .select("vec_id")
+    )
+
+
+def ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ ANN end-to-end: deterministic codebooks -> per-subspace code
+    assignment -> query ADC table -> integer ADC scoring over codes ->
+    top-_PQ_CAND candidates -> exact cosine re-rank -> top-10.  The third
+    ANN path (after LSH and IVF), covering the store-compression axis."""
+    e = T(spark, sf, "embeddings")
+    cand_ids = _pq_candidates(spark, sf)
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("b"))
+    cand = (
+        e.join(cand_ids, "vec_id", "left_semi")
+        .select("vec_id", F.col("embedding").alias("a"))
+        .crossJoin(F.broadcast(qv))
+    )
+    scored = cand.select(
+        "vec_id",
+        F.expr(f"round({_DOT} / ({_NORM.format(c='a')} * {_NORM.format(c='b')}), 6)").alias(
+            "cos_sim"
+        ),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(10)
+
+
+# DuckDB replay: the m-unpivot computes sub-distances with expression
+# offsets (list slices are 1-based inclusive), integer-scaled identically.
+_PQ_D_DUCK = (
+    "CAST(round((list_dot_product(a[m*8+1:m*8+8], a[m*8+1:m*8+8]) "
+    "- 2 * list_dot_product(a[m*8+1:m*8+8], p[m*8+1:m*8+8]) "
+    "+ list_dot_product(p[m*8+1:m*8+8], p[m*8+1:m*8+8])) * 1000000.0) AS BIGINT)"
+)
+
+_PQ_CAND_SQL = f"""
+WITH piv AS (
+  SELECT vec_id AS code_id, embedding::DOUBLE[] AS p
+  FROM embeddings WHERE vec_id BETWEEN 1 AND {_PQ_K}
+),
+ms AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m),
+u AS (
+  SELECT b.vec_id, piv.code_id, ms.m, {_PQ_D_DUCK} AS d
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS a FROM embeddings WHERE vec_id <> 0) b,
+       piv, ms
+),
+codes AS (
+  SELECT vec_id, m, code_id FROM (
+    SELECT vec_id, m, code_id,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d ASC, code_id ASC) AS rk
+    FROM u
+  ) WHERE rk = 1
+),
+qd AS (
+  SELECT piv.code_id, ms.m, {_PQ_D_DUCK} AS qd
+  FROM (SELECT embedding::DOUBLE[] AS a FROM embeddings WHERE vec_id = 0), piv, ms
+),
+scored AS (
+  SELECT c.vec_id, sum(q.qd) AS adc_e6
+  FROM codes c JOIN qd q ON c.m = q.m AND c.code_id = q.code_id
+  GROUP BY c.vec_id
+)
+SELECT vec_id FROM scored ORDER BY adc_e6 ASC, vec_id ASC LIMIT {_PQ_CAND}
+"""
+
+_ANN_PQ_SQL = f"""
+WITH cand AS ({_PQ_CAND_SQL}),
+q AS (SELECT embedding::DOUBLE[] AS b FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         round(list_dot_product(e.embedding::DOUBLE[], q.b)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.b, q.b))), 6) AS cos_sim
+  FROM embeddings e JOIN cand USING (vec_id), q
+)
+SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+
 # --- recall report: the approximate paths measured against exact -----------
 #
-# Both scale paths (multi-probe LSH, IVF) graded on recall@10 vs the
+# All scale paths (multi-probe LSH, IVF, PQ) graded on recall@10 vs the
 # brute-force baseline IN the gate, not only in pytest: the number a
-# 100 TB operator actually watches when tuning probes/pivots.  All three
-# top-k queries are deterministic (6dp rounding + vec_id tie-breaks), so
-# recall is an exact integer.
+# 100 TB operator actually watches when tuning probes/pivots.  The top-k
+# queries are deterministic (6dp rounding + vec_id tie-breaks), so
+# recall is an exact integer.  n_candidates counts the EXACT-rescored
+# set; for PQ the compressed ADC pass reads every code (8 B/vector) but
+# rescores only _PQ_CAND full vectors.
 
 
 def ann_recall_report(spark: SparkSession, sf: str) -> DataFrame:
@@ -554,13 +720,18 @@ def ann_recall_report(spark: SparkSession, sf: str) -> DataFrame:
     exact = ann_cosine_topk(spark, sf).select("vec_id")
     approx = (
         ann_lsh_topk(spark, sf).select(F.lit("lsh").alias("method"), "vec_id")
-    ).unionByName(
-        ann_ivf_topk(spark, sf).select(F.lit("ivf").alias("method"), "vec_id")
+        .unionByName(
+            ann_ivf_topk(spark, sf).select(F.lit("ivf").alias("method"), "vec_id")
+        )
+        .unionByName(
+            ann_pq_topk(spark, sf).select(F.lit("pq").alias("method"), "vec_id")
+        )
     )
     ncand = (
         _lsh_candidates(spark, sf)
         .select(F.lit("lsh").alias("method"))
         .unionByName(_ivf_candidates(spark, sf).select(F.lit("ivf").alias("method")))
+        .unionByName(_pq_candidates(spark, sf).select(F.lit("pq").alias("method")))
         .groupBy("method")
         .agg(F.count("*").alias("n_candidates"))
     )
@@ -591,11 +762,15 @@ approx AS (
   SELECT 'lsh' AS method, vec_id FROM ({_ANN_LSH_SQL})
   UNION ALL
   SELECT 'ivf' AS method, vec_id FROM ({_ANN_IVF_SQL})
+  UNION ALL
+  SELECT 'pq' AS method, vec_id FROM ({_ANN_PQ_SQL})
 ),
 ncand AS (
   SELECT 'lsh' AS method, count(*) AS n_candidates FROM ({_LSH_CAND_SQL})
   UNION ALL
   SELECT 'ivf' AS method, count(*) AS n_candidates FROM ({_IVF_CAND_SQL})
+  UNION ALL
+  SELECT 'pq' AS method, count(*) AS n_candidates FROM ({_PQ_CAND_SQL})
 ),
 rec AS (
   SELECT method,
@@ -620,6 +795,7 @@ QUERIES = {
     "lsh_bucket_sign": lsh_bucket_sign,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_pq_topk": ann_pq_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_recall_report": ann_recall_report,
 }
@@ -632,6 +808,7 @@ ORACLES = {
     "lsh_bucket_sign": _lsh_sql(),
     "ann_lsh_topk": _ANN_LSH_SQL,
     "ann_ivf_topk": _ANN_IVF_SQL,
+    "ann_pq_topk": _ANN_PQ_SQL,
     "dedup_embedding_cosine": _DEDUP_COS_SQL,
     "ann_recall_report": _RECALL_SQL,
 }

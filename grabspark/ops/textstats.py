@@ -288,6 +288,110 @@ FROM k GROUP BY clean_md5
 """
 
 
+# --- corpus n-gram counts: the LM-training statistic ------------------------
+
+_NGRAM_TOP = 100
+
+
+def ngram_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level top-{k} bigram counts — the language-model training
+    statistic (vocabulary/bigram tables at 100 TB are exactly this
+    plan: explode -> partial-agg groupBy -> TakeOrdered top-k; the
+    groupBy combines map-side so the shuffle carries one row per
+    distinct bigram per partition, and top-k never materializes the
+    full sorted table).  Ties pinned (n DESC, bigram ASC) so the LIMIT
+    is deterministic."""
+    d = T(spark, sf, "documents").select(F.expr(_TOKENS).alias("toks"))
+    bg = d.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1), "
+                "i -> concat_ws(' ', toks[i-1], toks[i])) "
+                "ELSE CAST(array() AS ARRAY<STRING>) END"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(_NGRAM_TOP)
+    )
+
+
+_NGRAM_SQL = f"""
+WITH d AS (SELECT {_TOKENS_DUCK} AS toks FROM documents),
+bg AS (
+  SELECT concat_ws(' ', toks[i], toks[i+1]) AS bigram
+  FROM d, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS i) g
+)
+SELECT bigram, count(*) AS n FROM bg GROUP BY bigram
+ORDER BY n DESC, bigram ASC LIMIT {_NGRAM_TOP}
+"""
+
+
+# --- PII scrub: redaction pass over synthesized contact records -------------
+#
+# The fixtures' document text is PII-free word salad, so the graded input
+# is synthesized deterministically from the customer table (same device
+# as robots_txt_parse): per-customer contact blurbs with 0-2 emails and
+# an optional phone.  Patterns are conservative character classes that
+# parse identically under Java regex (Spark) and RE2 (DuckDB).
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+_PHONE_RE = "[+]1-555-[0-9]{4}"
+
+_PII_BODY_SPARK = (
+    "concat('contact ', c_name, ' ', "
+    "CASE WHEN c_custkey % 3 = 0 THEN concat('cust', CAST(c_custkey AS STRING), '@n', "
+    "CAST(c_nationkey AS STRING), '.example ') ELSE '' END, "
+    "CASE WHEN c_custkey % 2 = 0 THEN concat('+1-555-', "
+    "lpad(CAST(c_custkey % 10000 AS STRING), 4, '0'), ' ') ELSE '' END, "
+    "CASE WHEN c_custkey % 7 = 0 THEN concat('alt.', CAST(c_custkey AS STRING), "
+    "'@mail.example ') ELSE '' END, 'end')"
+)
+
+_PII_BODY_DUCK = (
+    "concat('contact ', c_name, ' ', "
+    "CASE WHEN c_custkey % 3 = 0 THEN concat('cust', CAST(c_custkey AS VARCHAR), '@n', "
+    "CAST(c_nationkey AS VARCHAR), '.example ') ELSE '' END, "
+    "CASE WHEN c_custkey % 2 = 0 THEN concat('+1-555-', "
+    "lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0'), ' ') ELSE '' END, "
+    "CASE WHEN c_custkey % 7 = 0 THEN concat('alt.', CAST(c_custkey AS VARCHAR), "
+    "'@mail.example ') ELSE '' END, 'end')"
+)
+
+
+def pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction over per-customer contact records: count + replace
+    emails and phone numbers (JVM regexp, global replace — one codegen
+    pass per row, no UDF).  At 100 TB this is the pre-training scrub
+    stage: a pure map, no shuffle, filter-pushdown-transparent."""
+    c = T(spark, sf, "customer").select(
+        F.col("c_custkey").alias("src_id"), F.expr(_PII_BODY_SPARK).alias("body")
+    )
+    return c.select(
+        "src_id",
+        F.expr(f"size(regexp_extract_all(body, '{_EMAIL_RE}', 0))").alias("n_emails"),
+        F.expr(f"size(regexp_extract_all(body, '{_PHONE_RE}', 0))").alias("n_phones"),
+        F.expr(
+            f"regexp_replace(regexp_replace(body, '{_EMAIL_RE}', '<EMAIL>'), "
+            f"'{_PHONE_RE}', '<PHONE>')"
+        ).alias("redacted"),
+    )
+
+
+_PII_SQL = f"""
+WITH c AS (SELECT c_custkey AS src_id, {_PII_BODY_DUCK} AS body FROM customer)
+SELECT src_id,
+       len(regexp_extract_all(body, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(body, '{_PHONE_RE}')) AS n_phones,
+       regexp_replace(regexp_replace(body, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+FROM c
+"""
+
+
 QUERIES = {
     "text_cleanup": text_cleanup,
     "token_count": token_count,
@@ -296,6 +400,8 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "winnow_fingerprints": winnow_fingerprints,
     "corpus_curation": corpus_curation,
+    "ngram_counts": ngram_counts,
+    "pii_scrub": pii_scrub,
 }
 
 ORACLES = {
@@ -306,4 +412,6 @@ ORACLES = {
     "doc_fingerprint": _FP_SQL,
     "winnow_fingerprints": _WINNOW_SQL,
     "corpus_curation": _curation_sql(),
+    "ngram_counts": _NGRAM_SQL,
+    "pii_scrub": _PII_SQL,
 }
