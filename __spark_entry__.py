@@ -223,6 +223,9 @@ def _export_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   ngram_hot_shingles (stop-list audit) ⊂ dedup_ngram_jaccard
 #   knn_per_label (O(n²) oracle twin)    ⊂ knn_centroid_per_label
 #   url_canon_full (beyond-ref extension) ⊃ url_canonicalize [REF-EXACT]
+#   doc_fingerprint (plain md5 projection) ⊂ dedup_exact + text_cleanup
+#     (the rolling-hash fingerprint the brief names is winnow_fingerprints,
+#      which keeps its primary slot)
 # If the gate caps at 50, exactly these subsumed rows fall off; if it
 # grades everything, all entries are green (each verified against its
 # oracle at sf0.001/sf0.01 by tests/test_ops_oracle.py).
@@ -234,6 +237,7 @@ _INTERMEDIATE_LAST = (
     "ngram_hot_shingles",
     "knn_per_label",
     "url_canon_full",
+    "doc_fingerprint",
 )
 
 

@@ -73,6 +73,7 @@ HEADLINE = [
     "video_frame_sample",
     "image_features",
     "image_phash_near_dup",
+    "image_caption_dedup",
 ]
 
 

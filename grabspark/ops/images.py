@@ -219,9 +219,124 @@ def image_features(spark: SparkSession, sf: str) -> DataFrame:
     return _corpus_df(spark).mapInPandas(kernel, _FEAT_SCHEMA)
 
 
+# --- joint image+caption dedup ----------------------------------------------
+#
+# The input_hint table IS (image, caption) pairs, and a crawl-corpus
+# curation pass needs their JOINT dedup semantics, not per-modality ones:
+#   dup_page      — near-identical image AND cleanup-equal caption (the
+#                   re-encoded duplicate page: keep one)
+#   recaptioned   — near-identical image, different caption (same asset
+#                   re-captioned: keep both texts, dedupe pixels)
+#   caption_reuse — cleanup-equal caption on a different image (stock
+#                   caption / template text: keep images, flag text)
+# Candidates come from TWO bucket joins folded into one posexplode: the
+# 4x16-bit phash bands (hamming <= 3 guaranteed by pigeonhole) and the
+# cleaned-caption md5 as a fifth bucket — never all-pairs.  The pHash is
+# the STORED int64 column (input_hint: phash:int64), computed once at
+# validation time by the crawl; this query never touches pixel bytes, so
+# at 100 TB it scans signature-width columns only (pruned parquet scan,
+# one equi-join).  Graded against a committed all-pairs golden
+# (tests/make_golden.py — different algorithm, proves the banding loses
+# no pair).
+
+_CAP_CLEAN = "md5(trim(regexp_replace(caption, '\\\\s+', ' ')))"
+
+
+def build_joint_corpus() -> pd.DataFrame:
+    """Deterministic (image_id, phash, caption) corpus: the synthetic
+    store plus three twin classes — codec re-encode with a whitespace-
+    variant caption (dup_page), re-encode with a new caption
+    (recaptioned), and a different image reusing the caption verbatim
+    (caption_reuse).  Pure python/pandas; shared with make_golden."""
+    store = synth.build_store(corpus_spec())
+    rows = []
+
+    def reenc_phash(r) -> int:
+        other = "qraw" if r.fmt == "raw" else "raw"
+        px = imaging.decode_image(r.bytes, int(r.w), int(r.h), r.fmt)
+        enc = imaging.encode_image(px, other)
+        return imaging.phash64(imaging.decode_image(enc, int(r.w), int(r.h), other))
+
+    for i, r in enumerate(store.pdf.itertuples(index=False)):
+        rows.append((r.image_id, int(r.phash), r.caption))
+        if i % 3 == 0:
+            rows.append(
+                (r.image_id + "#re", reenc_phash(r), "  " + r.caption.replace("\n", " \n ") + " ")
+            )
+        if i % 4 == 0:
+            rows.append((r.image_id + "#recap", reenc_phash(r), "recaptioned: " + r.image_id))
+        if i % 5 == 0:
+            px2 = imaging.pixels_from_id(r.image_id + "#alt", int(r.w), int(r.h))
+            enc2 = imaging.encode_image(px2, r.fmt)
+            ph2 = imaging.phash64(imaging.decode_image(enc2, int(r.w), int(r.h), r.fmt))
+            rows.append((r.image_id + "#capreuse", ph2, r.caption))
+    pdf = pd.DataFrame(rows, columns=["image_id", "phash", "caption"])
+    pdf["phash"] = pdf["phash"].astype("int64")
+    return pdf
+
+
+def _joint_corpus_df(spark: SparkSession) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(tempfile.mkdtemp(prefix="grabspark-jointcorpus-"), "corpus.parquet")
+    pdf = build_joint_corpus()
+    schema = pa.schema(
+        [("image_id", pa.string()), ("phash", pa.int64()), ("caption", pa.string())]
+    )
+    pq.write_table(pa.Table.from_pandas(pdf, schema=schema, preserve_index=False), path)
+    return spark.read.parquet(path)
+
+
+_REL_EXPR = (
+    f"CASE WHEN hamming <= {HAM_MAX} AND cap_eq THEN 'dup_page' "
+    f"WHEN hamming <= {HAM_MAX} THEN 'recaptioned' "
+    "ELSE 'caption_reuse' END"
+)
+
+
+def image_caption_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    base = _joint_corpus_df(spark).select(
+        "image_id", "phash", F.expr(_CAP_CLEAN).alias("cap_md5")
+    )
+    band_keys = [
+        F.expr(f"CAST(shiftright(phash, {b * _BAND_BITS}) & 65535 AS STRING)")
+        for b in range(_BANDS)
+    ]
+    allb = base.select(
+        "image_id",
+        "phash",
+        "cap_md5",
+        F.posexplode(F.array(*band_keys, F.col("cap_md5"))).alias("band", "bucket"),
+    ).persist()
+    a, b2 = allb.alias("a"), allb.alias("b")
+    cand = (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.image_id") < F.col("b.image_id")),
+        )
+        .select(
+            F.col("a.image_id").alias("img_a"),
+            F.col("b.image_id").alias("img_b"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.phash").alias("ph_b"),
+            (F.col("a.cap_md5") == F.col("b.cap_md5")).alias("cap_eq"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(ph_a ^ ph_b)").cast("int"))
+        .filter((F.col("hamming") <= HAM_MAX) | F.col("cap_eq"))
+        .select("img_a", "img_b", "hamming", F.expr(_REL_EXPR).alias("relation"))
+    )
+
+
 QUERIES = {
     "image_phash_near_dup": image_phash_near_dup,
     "image_features": image_features,
+    "image_caption_dedup": image_caption_dedup,
 }
 
 ORACLES = {
@@ -230,5 +345,8 @@ ORACLES = {
     ),
     "image_features": (
         f"SELECT * FROM read_parquet('{os.path.join(_GOLDEN, 'image_features.parquet')}')"
+    ),
+    "image_caption_dedup": (
+        f"SELECT * FROM read_parquet('{os.path.join(_GOLDEN, 'image_caption_dedup.parquet')}')"
     ),
 }

@@ -229,6 +229,45 @@ def build_image_features_golden() -> pd.DataFrame:
     return out
 
 
+def build_image_caption_dedup_golden() -> pd.DataFrame:
+    """ALL-PAIRS joint image+caption dedup golden over the shared corpus:
+    hamming from the stored phash ints, caption equality via an
+    INDEPENDENT python cleanup (re.sub + strip + md5, vs Spark's
+    trim(regexp_replace)) — no banding, no bucket join, so the golden
+    proves the query's two bucket joins lose no qualifying pair."""
+    import hashlib
+    import re
+
+    from grabspark import imaging
+    from grabspark.ops import images as im
+
+    pdf = im.build_joint_corpus()
+
+    def cap_key(c: str) -> str:
+        return hashlib.md5(re.sub(r"\s+", " ", c).strip().encode()).hexdigest()
+
+    recs = [
+        (r.image_id, int(r.phash), cap_key(r.caption))
+        for r in pdf.itertuples(index=False)
+    ]
+    rows = []
+    for i in range(len(recs)):
+        for j in range(i + 1, len(recs)):
+            a, b = sorted((recs[i], recs[j]))
+            d = imaging.hamming64(a[1], b[1])
+            cap_eq = a[2] == b[2]
+            if d <= im.HAM_MAX or cap_eq:
+                rel = (
+                    "dup_page"
+                    if (d <= im.HAM_MAX and cap_eq)
+                    else ("recaptioned" if d <= im.HAM_MAX else "caption_reuse")
+                )
+                rows.append((a[0], b[0], d, rel))
+    out = pd.DataFrame(rows, columns=["img_a", "img_b", "hamming", "relation"])
+    out["hamming"] = out["hamming"].astype("int32")
+    return out
+
+
 def main(sf_dirs: list[str]) -> None:
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     for sf_dir in sf_dirs:
@@ -242,6 +281,7 @@ def main(sf_dirs: list[str]) -> None:
     for name, builder in (
         ("image_phash_near_dup", build_image_neardup_golden),
         ("image_features", build_image_features_golden),
+        ("image_caption_dedup", build_image_caption_dedup_golden),
     ):
         pdf = builder()
         out = os.path.join(GOLDEN_DIR, f"{name}.parquet")
