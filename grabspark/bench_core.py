@@ -257,6 +257,17 @@ def run_frontier_round(
         .select("*", "_p.url_canon", "_p.host", "_p.fetch_key")
         .drop("_p")
     )
+    # ONE exchange for the whole candidate stream: hash-partition on
+    # url_canon ALONE, matching the seen table's bucket spec.  The dedupe
+    # groupBy's ClusteredDistribution((seed_idx, url_canon)) is satisfied
+    # by the subset partitioning, and the anti-join is then co-partitioned
+    # with the bucketed seen scan — withOUT this, Catalyst plans TWO full
+    # shuffles of the candidates (one on (seed_idx, url_canon) for the
+    # aggregate, a second on url_canon for the join).  Measured at 16M
+    # rows: parse+dedupe+antijoin 17.9s -> 10.8s at local[16] (prefix
+    # scaling efficiency 0.53 -> 0.83 vs local[4]); at 100 TB this is the
+    # difference between shuffling the frontier once and twice per round.
+    cand = cand.repartition(N_BUCKETS, "url_canon")
     cand = dedupe_first_occurrence(cand)
     _dbg("dedupe", cand)
 

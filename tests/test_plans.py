@@ -87,9 +87,54 @@ def test_no_cartesian_in_ops(spark):
     import __spark_entry__ as e
 
     qs = e.queries()
-    for name in ["dedup_minhash_lsh", "knn_per_label", "window_rank_per_host"]:
+    for name in [
+        "dedup_minhash_lsh",
+        "knn_per_label",
+        "window_rank_per_host",
+        "ann_pq_topk",
+        "image_caption_dedup",
+        "ngram_counts",
+    ]:
         p = plan(qs[name](spark, SF))
         assert "CartesianProduct" not in p, name
+
+
+def test_ngram_counts_topk_never_global_sorts(spark):
+    """Corpus bigram top-k must plan as TakeOrderedAndProject over a
+    partial-agg groupBy — a global Sort of the distinct-bigram table
+    would be the wrong shape at vocabulary scale."""
+    from grabspark.ops.textstats import ngram_counts
+
+    p = plan(ngram_counts(spark, SF))
+    assert "TakeOrderedAndProject" in p
+    assert "partial_count" in p or "partial_" in p.lower()
+
+
+def test_pq_codebook_joins_are_broadcast(spark):
+    """PQ assignment and ADC both join against the 16-row codebook: the
+    plan must broadcast it (BroadcastNestedLoopJoin over the literal-
+    small side), and the ADC lookup join must be a broadcast hash join —
+    a shuffle of the code table would defeat the 8-byte-per-vector
+    point."""
+    from grabspark.ops.similarity import ann_pq_topk
+
+    p = plan(ann_pq_topk(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p  # (m, code_id) ADC lookup
+    assert "TakeOrderedAndProject" in p  # both top-k stages
+
+
+def test_image_caption_dedup_reads_signature_columns_only(spark):
+    """The joint dedup must never touch pixel bytes: its corpus scan
+    reads (image_id, phash, caption) only."""
+    import re
+
+    from grabspark.ops.images import image_caption_dedup
+
+    p = plan(image_caption_dedup(spark, SF))
+    assert "CartesianProduct" not in p
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", p):
+        assert "bytes" not in m.group(1)
 
 
 def test_single_url_parse_pass_in_bench_round(spark):
@@ -172,6 +217,45 @@ def test_bucketed_seen_join_has_no_exchange_on_big_side(spark, tmp_path):
         )
         p = plan(j)
         # exactly one exchange: the candidate side; the bucketed scan none
+        assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+        assert "Bucketed: true" in p
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_frontier_round_prefix_is_one_exchange(spark, tmp_path):
+    """The bench round's candidate stream must shuffle ONCE: the explicit
+    url_canon repartition feeds both the dedupe aggregate (subset-key
+    ClusteredDistribution) and the anti-join against the url_canon-
+    bucketed seen table (co-partitioned).  Without the repartition,
+    Catalyst plans two full candidate shuffles — the r3 (4,16) scaling
+    breakdown's 0.30-efficiency stage."""
+    import re
+
+    from grabspark import bench_core, udfs
+    from grabspark.extract import dedupe_first_occurrence
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        name, path = "seen_onex_guard", str(tmp_path / "seen_tbl")
+        bench_core.write_bucketed(
+            bench_core.synth_seen_df(spark, 2000, 2000, 16), name, path, ["url_canon"]
+        )
+        seen = spark.table(name).select("seed_idx", "url_canon")
+        cand = (
+            bench_core.synth_candidates(spark, 1000, 16)
+            .withColumn("_p", udfs.url_parts_udf(F.col("url")))
+            .select("*", "_p.url_canon", "_p.host", "_p.fetch_key")
+            .drop("_p")
+            .repartition(bench_core.N_BUCKETS, "url_canon")
+        )
+        j = dedupe_first_occurrence(cand).join(
+            seen, ["seed_idx", "url_canon"], "left_anti"
+        )
+        p = plan(j)
         assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
         assert "Bucketed: true" in p
     finally:
