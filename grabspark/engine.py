@@ -319,7 +319,15 @@ class CrawlEngine:
     def _round(self, rnd: int, meta: dict) -> None:
         cfg = self.cfg
         f = self.frontier.read()
-        cand = dedupe_first_occurrence(f)
+        # ONE candidate exchange per round: hash-partition on url_canon
+        # alone (default shuffle.partitions), which satisfies both the
+        # dedupe groupBy's (seed_idx, url_canon) clustered distribution
+        # (subset key) and the seen anti-join's co-partitioning — without
+        # it Catalyst re-shuffles the deduped candidates a second time
+        # for the join (the r3 scaling breakdown's 0.30-efficiency
+        # stage; bench_core carries the same fix with the bucketed-seen
+        # layout that removes the seen-side exchange too).
+        cand = dedupe_first_occurrence(f.repartition("url_canon"))
         seen_df = self.seen.read(meta["seen_v"]).select("seed_idx", "url_canon")
 
         # J2 Bloom prefilter: definitely-new rows skip the exact anti-join
