@@ -140,7 +140,7 @@ def orchestrate(n_images: int, trials: int, lo: int = 4, hi: int = 16) -> None:
     }
     print(json.dumps(summary))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "image_scaling.json"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", f"image_scaling_{lo}_{hi}.json"), "w") as f:
         json.dump(summary, f, indent=2)
 
 
@@ -154,13 +154,16 @@ def main() -> None:
     ap.add_argument("--out")
     ap.add_argument("--n-images", type=int, default=240_000)
     ap.add_argument("--trials", type=int, default=3)
+    # (2,8): the criterion-grade fully-provisioned pair (see BENCH/BASELINE.md)
+    ap.add_argument("--lo", type=int, default=2)
+    ap.add_argument("--hi", type=int, default=8)
     args = ap.parse_args()
     if args.prepare:
         prepare(args.data, args.n_images)
     elif args.measure:
         measure(args.data, args.cores, args.out)
     elif args.orchestrate:
-        orchestrate(args.n_images, args.trials)
+        orchestrate(args.n_images, args.trials, args.lo, args.hi)
     else:
         raise SystemExit("pick a mode: --prepare / --measure / --orchestrate")
 
