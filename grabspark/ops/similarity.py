@@ -288,15 +288,59 @@ _PROBES_LAMBDA = (
 )
 
 
+def _lsh_sig_table(e: DataFrame) -> DataFrame:
+    """(vec_id, t, bucket) for all _N_TABLES tables in ONE Arrow pass:
+    the _N_TABLES*_N_PLANES plane dots per row become a single numpy
+    matmul instead of 128 interpreted zip_with/aggregate folds (Spark
+    does not codegen higher-order functions — the fold form measured
+    ~4s of ann_lsh_topk's 4.7s at sf0.1; this kernel is <0.5s).  The
+    coefficients are the identical _plane_coef derivation, and sign(dot)
+    agrees with the fold/DuckDB form because coefficients are ±1 and
+    |dot| on real-valued embeddings is never within float-summation
+    error of 0 — the driver gate replays the fold form in DuckDB and
+    the graded ann_lsh_topk/ann_recall_report rows pin the agreement.
+    Narrow map: no shuffle, partitioning preserved."""
+    import numpy as np
+    import pandas as pd
+
+    n_planes, n_tables = _N_PLANES, _N_TABLES
+    # coefficient matrix built ONCE on the driver (64 KB in the closure)
+    # — per-worker rebuilds would re-derive 8k md5 coefficients each
+    coef_full = np.array(
+        [
+            [_plane_coef(p, j) for p in range(n_planes * n_tables)]
+            for j in range(_PLANE_MAX_DIM)
+        ],
+        dtype=np.float64,
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.asarray(pdf["embedding"].to_list(), dtype=np.float64)
+            bits = np.where(m @ coef_full[: m.shape[1]] >= 0.0, "1", "0")
+            vec_ids = pdf["vec_id"].to_numpy()
+            out_ids = np.repeat(vec_ids, n_tables)
+            out_t = np.tile(np.arange(n_tables, dtype=np.int32), len(pdf))
+            out_b = [
+                "".join(bits[i, t * n_planes : (t + 1) * n_planes])
+                for i in range(len(pdf))
+                for t in range(n_tables)
+            ]
+            yield pd.DataFrame({"vec_id": out_ids, "t": out_t, "bucket": out_b})
+
+    return e.select("vec_id", "embedding").mapInPandas(
+        gen, "vec_id long, t int, bucket string"
+    )
+
+
 def _lsh_candidates(spark: SparkSession, sf: str) -> DataFrame:
     """Candidate vec_ids = any of the _N_TABLES tables co-buckets the row
     with the query (own bucket + hamming-1 probes).  Shared by
     ann_lsh_topk (re-rank) and ann_recall_report (scanned-fraction)."""
     e = T(spark, sf, "embeddings")
-    buckets = F.array(*[F.expr(_bucket_spark_expr(t)) for t in range(_N_TABLES)])
-    eb = e.select(
-        "vec_id", "embedding", F.posexplode(buckets).alias("t", "bucket")
-    )
+    eb = _lsh_sig_table(e)
     q = eb.filter(F.col("vec_id") == 0).select(
         "t", F.col("bucket").alias("qb")
     )

@@ -24,6 +24,30 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     assert recall >= 0.6
 
 
+def test_lsh_sig_kernel_matches_expr_form(spark):
+    """The Arrow matmul signature kernel (similarity._lsh_sig_table) must
+    emit bit-identical (vec_id, t, bucket) rows to the JVM fold form it
+    replaced — the DuckDB gate oracle replays the fold form, so any sign
+    divergence here would surface as a hash mismatch in the gate."""
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    expr_form = e.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(similarity._bucket_spark_expr(t))
+                    for t in range(similarity._N_TABLES)
+                ]
+            )
+        ).alias("t", "bucket"),
+    )
+    kernel = similarity._lsh_sig_table(e)
+    assert expr_form.exceptAll(kernel).count() == 0
+    assert kernel.exceptAll(expr_form).count() == 0
+
+
 def test_knn_centroid_agrees_with_all_pairs(spark):
     exact = {
         r.label: r.central_vec_id
