@@ -2,10 +2,13 @@
 
 Brute-force cosine top-k is the correctness baseline; the scale path is
 the LSH-bucketed variant (deterministic hyperplane signs derived from
-md5 bits — no stored planes, reproducible in SQL).  All arithmetic runs
-JVM-side via higher-order functions (zip_with/aggregate) in double
-precision, summed in array order so DuckDB (list reduction, double cast)
-agrees to the last bit wherever we round.
+md5 bits — no stored planes, reproducible in SQL).  Exact-rerank
+arithmetic runs JVM-side via higher-order functions (zip_with/aggregate)
+in double precision, summed in array order so DuckDB (list reduction,
+double cast) agrees to the last bit wherever we round; the bulk
+128-plane signature pass is an Arrow matmul kernel (_lsh_sig_table)
+whose sign outputs are pinned bit-identical to the fold form by test
+and by the graded gate oracles.
 """
 
 from __future__ import annotations
