@@ -240,6 +240,19 @@ _INTERMEDIATE_LAST = (
     "doc_fingerprint",
 )
 
+# Round-3 additions that arrived AFTER the 50 primary slots were fixed:
+# alternate-layout twins of already-graded queries (ann_lsh_index_topk
+# serves ann_lsh_topk's exact answer from the persisted partition-pruned
+# index; dedup_incremental is the batch-vs-stored-corpus form of
+# dedup_minhash_lsh).  Placed at positions 51+ so they never displace a
+# primary from the graded window; if the gate grades more than 50 they
+# are graded before the subsumed intermediates.  Both are oracle-verified
+# at sf0.001/sf0.01 by tests/test_ops_oracle.py regardless.
+_BEYOND_GATE = (
+    "ann_lsh_index_topk",
+    "dedup_incremental",
+)
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from grabspark import ops
@@ -250,10 +263,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_pages": _export_pages,
     }
     allq = ops.all_queries()
+    deferred = _BEYOND_GATE + _INTERMEDIATE_LAST
     for name, fn in allq.items():
-        if name not in _INTERMEDIATE_LAST:
+        if name not in deferred:
             out[name] = fn
-    for name in _INTERMEDIATE_LAST:
+    for name in deferred:
         out[name] = allq[name]
     return out
 

@@ -51,6 +51,12 @@ GROUP BY md5(text)
 def _shingles_df(
     spark: SparkSession, sf: str, n: int = 3, distinct: bool = True
 ) -> DataFrame:
+    """Distinct word n-gram shingles per doc over the ``documents``
+    fixture (see :func:`_shingles_of` for the semantics)."""
+    return _shingles_of(T(spark, sf, "documents"), n=n, distinct=distinct)
+
+
+def _shingles_of(docs: DataFrame, n: int = 3, distinct: bool = True) -> DataFrame:
     """Distinct word n-gram shingles per doc (posexplode over positions).
 
     Docs shorter than ``n`` tokens emit no shingles (guarded: a bare
@@ -63,7 +69,7 @@ def _shingles_df(
     step dedupes anyway (a set-semantics aggregate like collect_set, or
     MIN over a hash of the shingle) — the raw exploded rows are a narrow
     map-side stream in that case."""
-    d = T(spark, sf, "documents").select("doc_id", F.expr(_TOKENS).alias("toks"))
+    d = docs.select("doc_id", F.expr(_TOKENS).alias("toks"))
     sh = d.select(
         "doc_id",
         F.explode(
@@ -228,6 +234,22 @@ def _mh_aggs_duck() -> str:
     )
 
 
+def _band_explode(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) — one pass: posexplode the band keys instead
+    of unioning per-band selects (which would recompute the signature agg
+    once per band).  Band key = plain '|'-joined int string: the key is
+    only a join column (never output), so no digest is needed on top."""
+    band_keys = [
+        F.concat_ws(
+            "|", *[F.col(f"mh{b * _R + i}").cast("string") for i in range(_R)]
+        )
+        for b in range(_P // _R)
+    ]
+    return sig.select(
+        "doc_id", F.posexplode(F.array(*band_keys)).alias("band", "bucket")
+    )
+
+
 def minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
     """Per-doc MinHash signature (P=12 affine permutations, integer min).
     MIN is dedupe-invariant, so the shingle stream skips the distinct
@@ -256,19 +278,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     sig = sh.withColumn("h", F.expr(_H_SHINGLE_SPARK)).groupBy("doc_id").agg(
         *_mh_aggs_spark()
     )
-    # one pass: posexplode the band keys instead of unioning per-band
-    # selects (which would recompute the signature agg once per band).
-    # Band key = plain '|'-joined int string: the key is only a join
-    # column (never output), so no digest is needed on top.
-    band_keys = [
-        F.concat_ws(
-            "|", *[F.col(f"mh{b * _R + i}").cast("string") for i in range(_R)]
-        )
-        for b in range(_P // _R)
-    ]
-    allb = sig.select(
-        "doc_id", F.posexplode(F.array(*band_keys)).alias("band", "bucket")
-    )
+    allb = _band_explode(sig)
     a, b = allb.alias("a"), allb.alias("b")
     cand = (
         a.join(
@@ -333,6 +343,130 @@ JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
 WHERE i.inter * 20 >= (sa.sz + sb.sz - i.inter)
 """
+
+# ---------------------------------------------------------------------------
+# Incremental ingest dedup: the 100 TB property that matters is that a
+# NEW batch dedupes against the corpus at cost ∝ batch size — the corpus
+# is never re-shingled, re-hashed, or shuffled per ingest.  Ingest-time
+# artifacts (built once per corpus snapshot, like the engine's seen/store
+# tables): the corpus band table bucketed on (band, bucket) so the batch
+# probe joins it co-partitioned, and the corpus signature table bucketed
+# on doc_id so candidate verification reads signatures without moving
+# them.  Verification is signature agreement (matching permutations out
+# of P) — pure stored-column arithmetic, no corpus text access.
+
+_INC_BATCH_MOD = 10  # doc_id % 10 == 0 -> the "new batch" (~10% of docs)
+_INC_MIN_MATCH = 4  # >= 4 of 12 permutations agree (est. Jaccard >= 1/3)
+_INC_NB = 8  # bucket count for the persisted corpus stores
+
+_INC_CACHE: dict = {}
+
+
+def _inc_corpus_tables(spark: SparkSession, sf: str) -> tuple[str, str]:
+    """Build (once per session+sf) and register the ingest-time corpus
+    artifacts; returns (bands_table, sigs_table) catalog names."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = (id(spark), os.path.normpath(sf))
+    if key in _INC_CACHE:
+        return _INC_CACHE[key]
+    tok = hashlib.md5(os.path.normpath(sf).encode()).hexdigest()[:8]
+    bands_tbl, sigs_tbl = f"inc_bands_{tok}", f"inc_sigs_{tok}"
+    base = tempfile.mkdtemp(prefix="grabspark-inc-")
+    corpus = T(spark, sf, "documents").filter(
+        F.col("doc_id") % _INC_BATCH_MOD != 0
+    )
+    sh = _shingles_of(corpus, distinct=False).withColumn(
+        "h", F.expr(_H_SHINGLE_SPARK)
+    )
+    sig = sh.groupBy("doc_id").agg(*_mh_aggs_spark())
+    (
+        _band_explode(sig)
+        .repartition(_INC_NB, "band", "bucket")
+        .write.mode("overwrite")
+        .bucketBy(_INC_NB, "band", "bucket")
+        .sortBy("band", "bucket")
+        .option("path", os.path.join(base, "bands"))
+        .saveAsTable(bands_tbl)
+    )
+    (
+        sig.repartition(_INC_NB, "doc_id")
+        .write.mode("overwrite")
+        .bucketBy(_INC_NB, "doc_id")
+        .sortBy("doc_id")
+        .option("path", os.path.join(base, "sigs"))
+        .saveAsTable(sigs_tbl)
+    )
+    _INC_CACHE[key] = (bands_tbl, sigs_tbl)
+    return bands_tbl, sigs_tbl
+
+
+def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dups of the NEW batch (doc_id % 10 == 0) against the stored
+    corpus: batch shingles+signatures (cost ∝ batch), band-key probe into
+    the bucketed corpus band table (corpus side never shuffles), then
+    signature-agreement verification against the bucketed corpus
+    signature table.  Output (new_doc, dup_doc, n_match) with
+    n_match >= _INC_MIN_MATCH of the P=12 permutations equal."""
+    bands_tbl, sigs_tbl = _inc_corpus_tables(spark, sf)
+    batch = T(spark, sf, "documents").filter(
+        F.col("doc_id") % _INC_BATCH_MOD == 0
+    )
+    bsh = _shingles_of(batch, distinct=False).withColumn(
+        "h", F.expr(_H_SHINGLE_SPARK)
+    )
+    bsig = bsh.groupBy("doc_id").agg(*_mh_aggs_spark())
+    cand = (
+        _band_explode(bsig)
+        .withColumnRenamed("doc_id", "new_doc")
+        .join(
+            spark.table(bands_tbl).withColumnRenamed("doc_id", "dup_doc"),
+            ["band", "bucket"],
+        )
+        .select("new_doc", "dup_doc")
+        .distinct()
+    )
+    csig = spark.table(sigs_tbl).select(
+        F.col("doc_id").alias("dup_doc"),
+        *[F.col(f"mh{p}").alias(f"c{p}") for p in range(_P)],
+    )
+    nsig = bsig.select(
+        F.col("doc_id").alias("new_doc"),
+        *[F.col(f"mh{p}").alias(f"n{p}") for p in range(_P)],
+    )
+    n_match = " + ".join(
+        f"CASE WHEN n{p} = c{p} THEN 1 ELSE 0 END" for p in range(_P)
+    )
+    return (
+        cand.join(csig, "dup_doc")
+        .join(F.broadcast(nsig), "new_doc")
+        .withColumn("n_match", F.expr(n_match))
+        .filter(F.col("n_match") >= _INC_MIN_MATCH)
+        .select("new_doc", "dup_doc", "n_match")
+    )
+
+
+_INC_SQL = f"""
+WITH sh AS ({_SHINGLES_DUCK}),
+hs AS (SELECT doc_id, {_H_SHINGLE_DUCK} AS h FROM sh),
+sig AS (SELECT doc_id, {_mh_aggs_duck()} FROM hs GROUP BY doc_id),
+bands AS ({_BANDS_DUCK}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS dup_doc
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id % {_INC_BATCH_MOD} = 0 AND b.doc_id % {_INC_BATCH_MOD} <> 0
+)
+SELECT new_doc, dup_doc, n_match FROM (
+  SELECT c.new_doc, c.dup_doc,
+         ({" + ".join(f"CASE WHEN sa.mh{p} = sb.mh{p} THEN 1 ELSE 0 END" for p in range(_P))}) AS n_match
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.new_doc
+  JOIN sig sb ON sb.doc_id = c.dup_doc
+) WHERE n_match >= {_INC_MIN_MATCH}
+"""
+
 
 # SimHash: 16-bit signature; bit j votes by the j-th md5 hex nibble of
 # each token (>= '8' -> +1 else -1).
@@ -686,6 +820,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "minhash_signatures": minhash_signatures,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_incremental": dedup_incremental,
     "dedup_simhash": dedup_simhash,
     "simhash64_near_dup": simhash64_near_dup,
     "dedup_components": dedup_components,
@@ -697,6 +832,7 @@ ORACLES = {
     "dedup_ngram_jaccard": _JACCARD_SQL,
     "minhash_signatures": _MINSIG_SQL,
     "dedup_minhash_lsh": _MINHASH_SQL,
+    "dedup_incremental": _INC_SQL,
     "dedup_simhash": _SIMHASH_SQL,
     "simhash64_near_dup": _SIMHASH64_SQL,
     "dedup_components": _COMPONENTS_SQL,

@@ -291,6 +291,20 @@ _PROBES_LAMBDA = (
 )
 
 
+def _coef_matrix():
+    """(_PLANE_MAX_DIM, _N_TABLES*_N_PLANES) float64 hyperplane matrix —
+    column p is plane p's ±1 coefficients (_plane_coef derivation)."""
+    import numpy as np
+
+    return np.array(
+        [
+            [_plane_coef(p, j) for p in range(_N_PLANES * _N_TABLES)]
+            for j in range(_PLANE_MAX_DIM)
+        ],
+        dtype=np.float64,
+    )
+
+
 def _lsh_sig_table(e: DataFrame) -> DataFrame:
     """(vec_id, t, bucket) for all _N_TABLES tables in ONE Arrow pass:
     the _N_TABLES*_N_PLANES plane dots per row become a single numpy
@@ -303,19 +317,13 @@ def _lsh_sig_table(e: DataFrame) -> DataFrame:
     error of 0 — the driver gate replays the fold form in DuckDB and
     the graded ann_lsh_topk/ann_recall_report rows pin the agreement.
     Narrow map: no shuffle, partitioning preserved."""
-    import numpy as np
     import pandas as pd
 
     n_planes, n_tables = _N_PLANES, _N_TABLES
     # coefficient matrix built ONCE on the driver (64 KB in the closure)
     # — per-worker rebuilds would re-derive 8k md5 coefficients each
-    coef_full = np.array(
-        [
-            [_plane_coef(p, j) for p in range(n_planes * n_tables)]
-            for j in range(_PLANE_MAX_DIM)
-        ],
-        dtype=np.float64,
-    )
+    coef_full = _coef_matrix()
+    import numpy as np
 
     def gen(batches):
         for pdf in batches:
@@ -368,7 +376,11 @@ def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     grades the recall in the driver gate; the DuckDB oracle here replays
     the identical bucketed computation."""
     e = T(spark, sf, "embeddings")
-    cand_ids = _lsh_candidates(spark, sf)
+    return _rerank_topk(e, _lsh_candidates(spark, sf))
+
+
+def _rerank_topk(e: DataFrame, cand_ids: DataFrame) -> DataFrame:
+    """Exact-cosine top-10 of the candidate ids against query vec_id=0."""
     qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("b"))
     cand = (
         e.join(cand_ids, "vec_id", "left_semi")
@@ -382,6 +394,104 @@ def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
         ),
     )
     return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(10)
+
+
+_IDX_CACHE: dict = {}
+
+
+def _lsh_index_path(spark: SparkSession, sf: str) -> str:
+    """Build (once per session+sf) the PERSISTED LSH index: the full
+    (vec_id, t, bucket) signature table written partitioned by
+    (t, bhi=4-bit bucket prefix) — 256 directories max, the bounded
+    partition-count layout a production store uses (partitioning by the
+    full 8-bit bucket would be 4096 dirs; the prefix bounds file counts
+    while still letting probes prune ~2/3 of the store — within a
+    partition, the exact (t, bucket) equi-filter does the rest via
+    parquet row-group/dictionary pruning at scale)."""
+    import os
+    import tempfile
+
+    key = (id(spark), os.path.normpath(sf))
+    if key in _IDX_CACHE:
+        return _IDX_CACHE[key]
+    path = os.path.join(tempfile.mkdtemp(prefix="grabspark-lshidx-"), "idx")
+    e = T(spark, sf, "embeddings")
+    (
+        _lsh_sig_table(e)
+        .withColumn("bhi", F.substring("bucket", 1, 4))
+        .repartition(32, "t", "bhi")
+        .write.mode("overwrite")
+        .partitionBy("t", "bhi")
+        .parquet(path)
+    )
+    _IDX_CACHE[key] = path
+    return path
+
+
+def _query_probe_pairs(spark: SparkSession, sf: str) -> list[tuple[int, str]]:
+    """The query vector's (t, bucket) probe list (own bucket + hamming-1
+    per table) computed driver-side from ONE row — metadata-scale query
+    planning, exactly how a production ANN service turns a query vector
+    into partition predicates."""
+    import numpy as np
+
+    qrow = (
+        T(spark, sf, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()
+    )
+    v = np.asarray(qrow["embedding"], dtype=np.float64)
+    bits = np.where(v @ _coef_matrix()[: len(v)] >= 0.0, "1", "0")
+    pairs = set()
+    for t in range(_N_TABLES):
+        qb = "".join(bits[t * _N_PLANES : (t + 1) * _N_PLANES])
+        pairs.add((t, qb))
+        for i in range(_N_PLANES):
+            pairs.add((t, qb[:i] + ("0" if qb[i] == "1" else "1") + qb[i + 1 :]))
+    return sorted(pairs)
+
+
+def _lsh_index_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    """Candidate ids from the persisted index: STATIC literal predicates
+    on the (t, bhi) partition columns (the scan's PartitionFilters prune
+    non-probed directories before any I/O — plan-guarded), then the exact
+    (t, bucket) filter within the surviving partitions."""
+    from functools import reduce
+    from operator import or_
+
+    pairs = _query_probe_pairs(spark, sf)
+    by_t: dict[int, set] = {}
+    for t, b in pairs:
+        by_t.setdefault(t, set()).add(b[:4])
+    prefix_pred = reduce(
+        or_,
+        [
+            (F.col("t") == t) & F.col("bhi").isin(sorted(pfx))
+            for t, pfx in sorted(by_t.items())
+        ],
+    )
+    pair_keys = [f"{t}|{b}" for t, b in pairs]
+    idx = spark.read.parquet(_lsh_index_path(spark, sf))
+    return (
+        idx.filter(prefix_pred)
+        .filter(
+            F.concat_ws("|", F.col("t").cast("string"), F.col("bucket")).isin(pair_keys)
+        )
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id")
+        .distinct()
+    )
+
+
+def ann_lsh_index_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """ann_lsh_topk's answer served from the PERSISTED partition-pruned
+    index (the at-rest 100 TB layout): see _lsh_index_candidates for the
+    pruning, then the standard exact-cosine re-rank.  Same result set as
+    ann_lsh_topk (the computed-on-the-fly form), so both share one DuckDB
+    oracle."""
+    cand_ids = _lsh_index_candidates(spark, sf)
+    return _rerank_topk(T(spark, sf, "embeddings"), cand_ids)
 
 
 # candidate-set SQL, parenthesizable as a subquery (shared by the top-k
@@ -841,6 +951,7 @@ QUERIES = {
     "knn_centroid_per_label": knn_centroid_per_label,
     "lsh_bucket_sign": lsh_bucket_sign,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_lsh_index_topk": ann_lsh_index_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_pq_topk": ann_pq_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -854,6 +965,9 @@ ORACLES = {
     "knn_centroid_per_label": _KNN_CENTROID_SQL,
     "lsh_bucket_sign": _lsh_sql(),
     "ann_lsh_topk": _ANN_LSH_SQL,
+    # identical answer from the persisted partition-pruned index — the
+    # oracle replays the same bucketed computation
+    "ann_lsh_index_topk": _ANN_LSH_SQL,
     "ann_ivf_topk": _ANN_IVF_SQL,
     "ann_pq_topk": _ANN_PQ_SQL,
     "dedup_embedding_cosine": _DEDUP_COS_SQL,

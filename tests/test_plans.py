@@ -191,6 +191,67 @@ def test_no_data_collect_in_graded_queries():
     assert not bad, "data-scale collect() calls:\n" + "\n".join(bad)
 
 
+def test_lsh_index_scan_prunes_partitions(spark):
+    """ann_lsh_index_topk's candidate scan must prune the persisted
+    (t, bhi)-partitioned index via static PartitionFilters — the 100 TB
+    claim is that a probe reads only probed directories, never the whole
+    store."""
+    import os
+    import re
+
+    from grabspark.ops import similarity as sim
+
+    cand = sim._lsh_index_candidates(spark, SF)
+    # the static probe predicate must reach the scan as a PARTITION
+    # filter (not a post-scan Filter): formatted explain shows it on the
+    # FileScan's PartitionFilters line, bhi included.  Losing this (e.g.
+    # a join-based probe, or filtering a non-partition column) is the
+    # regression this guards.
+    p = plan(cand)
+    m = re.search(r"PartitionFilters: \[([^\n]*)\]", p)
+    assert m and "bhi" in m.group(1) and m.group(1).strip(), p
+    # pruning effect on the layout: the probed (t, bhi) pairs cover
+    # strictly fewer directories than the index holds — hamming-1 probes
+    # of an 8-bit bucket touch <=5 of the 16 4-bit prefixes per table
+    path = sim._lsh_index_path(spark, SF)
+    n_dirs = sum(
+        1
+        for t in os.listdir(path)
+        if t.startswith("t=")
+        for b in os.listdir(os.path.join(path, t))
+        if b.startswith("bhi=")
+    )
+    pairs = sim._query_probe_pairs(spark, SF)
+    probed = {(t, b[:4]) for t, b in pairs}
+    assert 0 < len(probed) < n_dirs, (len(probed), n_dirs)
+    assert len(probed) <= sim._N_TABLES * 5
+
+
+def test_incremental_corpus_band_join_no_exchange_on_corpus(spark):
+    """dedup_incremental's scale property: the batch probe joins the
+    bucketed corpus band table WITHOUT shuffling the corpus — only the
+    (small) batch side exchanges."""
+    import re
+
+    from grabspark.ops import dedup as dd
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        bands_tbl, _sigs_tbl = dd._inc_corpus_tables(spark, SF)
+        probe = spark.createDataFrame(
+            [(0, "1|2|3")], "band int, bucket string"
+        )
+        j = probe.join(spark.table(bands_tbl), ["band", "bucket"])
+        p = plan(j)
+        assert "Bucketed: true" in p
+        # exactly one exchange: the probe side; the bucketed corpus none
+        assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+
+
 def test_bucketed_seen_join_has_no_exchange_on_big_side(spark, tmp_path):
     """The scale layout (BENCH/BASELINE.md): seen stored bucketed on
     url_canon means the per-round anti-join shuffles ONLY the candidate
