@@ -93,7 +93,9 @@ def _crawl_engine(spark: SparkSession, sf_dir: str):
     from grabspark.config import BloomConfig, EngineConfig
     from grabspark.engine import CrawlEngine
 
-    key = (id(spark), os.path.normpath(sf_dir))
+    from grabspark.ops.common import session_token
+
+    key = (session_token(spark), os.path.normpath(sf_dir))
     if key in _CRAWL_CACHE:
         return _CRAWL_CACHE[key]
     store, seeds = _store_from_fixtures(sf_dir)

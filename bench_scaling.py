@@ -171,7 +171,9 @@ def measure_breakdown(data_dir: str, cores: int, out: str) -> None:
 def orchestrate_breakdown(n_frontier: int, trials: int, lo: int = 8, hi: int = 32) -> None:
     """Interleaved stage-breakdown at (lo, hi): per-stage best-of scaling
     efficiency plus the pure-CPU calibration ceiling, committed as
-    BENCH/scaling_breakdown_{lo}_{hi}.json + BENCH/SCALING_{lo}_{hi}.md."""
+    BENCH/scaling_breakdown_{lo}_{hi}.json + BENCH/SCALING_BD_RUN_{lo}_{hi}.md
+    (auto-template — never the curated SCALING_{lo}_{hi}.md, which carries the
+    hand-analyzed numbers and must survive re-runs)."""
     from grabspark.session import package_zip
 
     zpath = package_zip()
@@ -226,7 +228,7 @@ def aggregate_breakdown(runs: dict[int, list[dict]], n_frontier: int,
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", f"scaling_breakdown_{lo}_{hi}.json"), "w") as f:
         json.dump(summary, f, indent=1)
-    with open(os.path.join(REPO, "BENCH", f"SCALING_{lo}_{hi}.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", f"SCALING_BD_RUN_{lo}_{hi}.md"), "w") as f:
         f.write(f"""# ({lo},{hi}) scaling: hardware ceiling + stage breakdown
 
 The ({lo},{hi}) core pair oversubscribes this box: 32 vCPUs map onto

@@ -52,6 +52,19 @@ from .snapshots import SnapshotTable
 from . import urlkit
 
 
+def _drain_futures(*futs) -> None:
+    """Wait for overlapped round jobs on the failure path.  Their own
+    exceptions are swallowed — the primary exception is the one that
+    propagates; what matters is that NO commit is still in flight when
+    the caller's retry/rollback touches the same tables."""
+    for f in futs:
+        if f is not None:
+            try:
+                f.result()
+            except Exception:
+                pass
+
+
 @dataclass
 class CrawlSummary:
     rounds: int
@@ -368,78 +381,86 @@ class CrawlEngine:
         new_seq = dict(meta.get("seq", {}))
         counters: dict[str, float] = {"frontier_in": self.frontier.row_count(), "scheduled": n_sched}
 
-        if n_sched > 0:
-            traced = fetch_and_validate(
-                sched, self.store, cfg.broadcast_store, cfg.host_buckets
-            )
-            # n_ok rides the trace write as an Observation (zero extra
-            # jobs); per-seed counts came back with the seq assignment —
-            # together they retire the former per-round stats collect
-            obs = Observation()
-            traced = traced.observe(obs, F.sum(F.col("ok").cast("long")).alias("n_ok"))
-            trace_v = self.trace.append(traced, meta={"round": rnd})
-            batch = self.trace.read_delta(trace_v)
-
-            newseen = batch.select(
-                "seed_idx",
-                "url_canon",
-                F.col("fetch_seq").alias("first_seq"),
-                F.lit(rnd).cast("int").alias("round"),
-            )
-            # the three post-fetch consumers of the written batch — the
-            # seen-filter update, the metrics rollup, and the next-frontier
-            # write — are independent Spark jobs; run them OVERLAPPED
-            # (Spark schedules concurrent jobs from separate driver
-            # threads) and serialize only the manifest commits.  The
-            # per-round blocking chain is the Amdahl floor that caps N->4N
-            # scaling efficiency (VERDICT r2 #5).
-            fut_bloom = None
-            if self.bloom is not None:
-                # partials collect + driver-side merge overlaps the
-                # seen/links chain; bloom_v is only read at the commit
-                fut_bloom = self._pool.submit(self._bloom_broadcast_update, batch, rnd)
-            elif self.pbloom is not None:
-                fut_bloom = self._pool.submit(
-                    self.pbloom.update, batch.withColumn("_bk", self._bloom_key()), "_bk"
+        fut_bloom = fut_metrics = None
+        try:
+            if n_sched > 0:
+                traced = fetch_and_validate(
+                    sched, self.store, cfg.broadcast_store, cfg.host_buckets
                 )
+                # n_ok rides the trace write as an Observation (zero extra
+                # jobs); per-seed counts came back with the seq assignment —
+                # together they retire the former per-round stats collect
+                obs = Observation()
+                traced = traced.observe(obs, F.sum(F.col("ok").cast("long")).alias("n_ok"))
+                trace_v = self.trace.append(traced, meta={"round": rnd})
+                batch = self.trace.read_delta(trace_v)
 
-            seen_v = self.seen.append(newseen)
-            seen_all = self.seen.read(seen_v).select("seed_idx", "url_canon")
-            links = links_to_frontier(batch, seen_all, rnd + 1)
+                newseen = batch.select(
+                    "seed_idx",
+                    "url_canon",
+                    F.col("fetch_seq").alias("first_seq"),
+                    F.lit(rnd).cast("int").alias("round"),
+                )
+                # the three post-fetch consumers of the written batch — the
+                # seen-filter update, the metrics rollup, and the next-frontier
+                # write — are independent Spark jobs; run them OVERLAPPED
+                # (Spark schedules concurrent jobs from separate driver
+                # threads) and serialize only the manifest commits.  The
+                # per-round blocking chain is the Amdahl floor that caps N->4N
+                # scaling efficiency (VERDICT r2 #5).
+                if self.bloom is not None:
+                    # partials collect + driver-side merge overlaps the
+                    # seen/links chain; bloom_v is only read at the commit
+                    fut_bloom = self._pool.submit(self._bloom_broadcast_update, batch, rnd)
+                elif self.pbloom is not None:
+                    fut_bloom = self._pool.submit(
+                        self.pbloom.update, batch.withColumn("_bk", self._bloom_key()), "_bk"
+                    )
 
-            # per-seed counters from the fused seq-assignment collect;
-            # n_ok from the trace write's Observation
-            for seed, n in n_by_seed.items():
-                k = str(seed)
-                new_seq[k] = int(new_seq.get(k, 0)) + int(n)
-            n_ok = int(obs.get["n_ok"] or 0)
-            counters["fetched_ok"] = n_ok
-            counters["fetch_failed"] = n_sched - n_ok
-            tmeta = self.trace.meta()
-            self.trace.commit_meta(
-                {
-                    "fetched": int(tmeta.get("fetched", 0)) + n_ok,
-                    "failed": int(tmeta.get("failed", 0)) + (n_sched - n_ok),
-                }
-            )
-            trace_v = self.trace.current_version()
+                seen_v = self.seen.append(newseen)
+                seen_all = self.seen.read(seen_v).select("seed_idx", "url_canon")
+                links = links_to_frontier(batch, seen_all, rnd + 1)
 
-            mrows = round_counter_rows(self.spark, rnd, counters)
-            mrows = mrows.unionByName(host_metrics(batch, rnd)).unionByName(
-                partition_lineage(batch, rnd)
-            )
-            fut_metrics = self._pool.submit(self.metrics.append, mrows)
-        else:
-            fut_bloom = fut_metrics = None
-            links = self.spark.createDataFrame([], FRONTIER_SCHEMA)
-            metrics_v = self.metrics.append(round_counter_rows(self.spark, rnd, counters))
+                # per-seed counters from the fused seq-assignment collect;
+                # n_ok from the trace write's Observation
+                for seed, n in n_by_seed.items():
+                    k = str(seed)
+                    new_seq[k] = int(new_seq.get(k, 0)) + int(n)
+                n_ok = int(obs.get["n_ok"] or 0)
+                counters["fetched_ok"] = n_ok
+                counters["fetch_failed"] = n_sched - n_ok
+                tmeta = self.trace.meta()
+                self.trace.commit_meta(
+                    {
+                        "fetched": int(tmeta.get("fetched", 0)) + n_ok,
+                        "failed": int(tmeta.get("failed", 0)) + (n_sched - n_ok),
+                    }
+                )
+                trace_v = self.trace.current_version()
 
-        next_frontier = links if deferred is None else deferred.unionByName(links)
-        next_frontier = next_frontier.select(*[f.name for f in FRONTIER_SCHEMA.fields])
+                mrows = round_counter_rows(self.spark, rnd, counters)
+                mrows = mrows.unionByName(host_metrics(batch, rnd)).unionByName(
+                    partition_lineage(batch, rnd)
+                )
+                fut_metrics = self._pool.submit(self.metrics.append, mrows)
+            else:
+                links = self.spark.createDataFrame([], FRONTIER_SCHEMA)
+                metrics_v = self.metrics.append(round_counter_rows(self.spark, rnd, counters))
 
-        # frontier data write runs while the metrics/bloom jobs are still
-        # in flight; the commit below waits for their versions
-        prepared = self.frontier.prepare_overwrite(next_frontier)
+            next_frontier = links if deferred is None else deferred.unionByName(links)
+            next_frontier = next_frontier.select(*[f.name for f in FRONTIER_SCHEMA.fields])
+
+            # frontier data write runs while the metrics/bloom jobs are still
+            # in flight; the commit below waits for their versions
+            prepared = self.frontier.prepare_overwrite(next_frontier)
+        except BaseException:
+            # failure path: wait out any in-flight side-table commits
+            # BEFORE propagating — a retry/rollback after this exception
+            # must never race a leaked metrics/bloom commit on the same
+            # SnapshotTable (two concurrent read-modify-write commits on
+            # one manifest chain could drop a version)
+            _drain_futures(fut_metrics, fut_bloom)
+            raise
         if fut_metrics is not None:
             metrics_v = fut_metrics.result()
         if fut_bloom is not None:

@@ -9,3 +9,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def session_token(spark: SparkSession) -> str:
+    """Stable cache key for per-session memos.  id(spark) is NOT safe:
+    CPython reuses addresses, so a stopped-and-collected session's id can
+    resurface on a new session and serve it artifacts registered in a
+    dead catalog.  A uuid attribute stamped on the live object cannot be
+    inherited by a different object."""
+    import uuid
+
+    tok = getattr(spark, "_grabspark_cache_token", None)
+    if tok is None:
+        tok = uuid.uuid4().hex
+        spark._grabspark_cache_token = tok
+    return tok

@@ -369,7 +369,9 @@ def _inc_corpus_tables(spark: SparkSession, sf: str) -> tuple[str, str]:
     import os
     import tempfile
 
-    key = (id(spark), os.path.normpath(sf))
+    from .common import session_token
+
+    key = (session_token(spark), os.path.normpath(sf))
     if key in _INC_CACHE:
         return _INC_CACHE[key]
     tok = hashlib.md5(os.path.normpath(sf).encode()).hexdigest()[:8]

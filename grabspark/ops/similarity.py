@@ -411,7 +411,9 @@ def _lsh_index_path(spark: SparkSession, sf: str) -> str:
     import os
     import tempfile
 
-    key = (id(spark), os.path.normpath(sf))
+    from .common import session_token
+
+    key = (session_token(spark), os.path.normpath(sf))
     if key in _IDX_CACHE:
         return _IDX_CACHE[key]
     path = os.path.join(tempfile.mkdtemp(prefix="grabspark-lshidx-"), "idx")
@@ -442,7 +444,10 @@ def _query_probe_pairs(spark: SparkSession, sf: str) -> list[tuple[int, str]]:
         .first()
     )
     v = np.asarray(qrow["embedding"], dtype=np.float64)
-    bits = np.where(v @ _coef_matrix()[: len(v)] >= 0.0, "1", "0")
+    # 2-D (1, dims) @ (dims, planes): the same dgemm form as the batch
+    # kernel in _lsh_sig_table, not a third (dgemv) summation ordering —
+    # keeps the sign decision on one code path for dots near zero
+    bits = np.where((v[None, :] @ _coef_matrix()[: len(v)])[0] >= 0.0, "1", "0")
     pairs = set()
     for t in range(_N_TABLES):
         qb = "".join(bits[t * _N_PLANES : (t + 1) * _N_PLANES])
@@ -626,21 +631,7 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     only rows whose cell survives the broadcast semi-join on probes.
     Ties and float order are pinned (round 6dp, then pivot_id asc) so the
     winner can't flip between engines."""
-    e = T(spark, sf, "embeddings")
-    cand_ids = _ivf_candidates(spark, sf)
-    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("b"))
-    cand = (
-        e.join(cand_ids, "vec_id", "left_semi")
-        .select("vec_id", F.col("embedding").alias("a"))
-        .crossJoin(F.broadcast(qv))
-    )
-    scored = cand.select(
-        "vec_id",
-        F.expr(f"round({_DOT} / ({_NORM.format(c='a')} * {_NORM.format(c='b')}), 6)").alias(
-            "cos_sim"
-        ),
-    )
-    return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(10)
+    return _rerank_topk(T(spark, sf, "embeddings"), _ivf_candidates(spark, sf))
 
 
 _IVF_CAND_SQL = f"""
@@ -783,21 +774,7 @@ def ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     assignment -> query ADC table -> integer ADC scoring over codes ->
     top-_PQ_CAND candidates -> exact cosine re-rank -> top-10.  The third
     ANN path (after LSH and IVF), covering the store-compression axis."""
-    e = T(spark, sf, "embeddings")
-    cand_ids = _pq_candidates(spark, sf)
-    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("b"))
-    cand = (
-        e.join(cand_ids, "vec_id", "left_semi")
-        .select("vec_id", F.col("embedding").alias("a"))
-        .crossJoin(F.broadcast(qv))
-    )
-    scored = cand.select(
-        "vec_id",
-        F.expr(f"round({_DOT} / ({_NORM.format(c='a')} * {_NORM.format(c='b')}), 6)").alias(
-            "cos_sim"
-        ),
-    )
-    return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(10)
+    return _rerank_topk(T(spark, sf, "embeddings"), _pq_candidates(spark, sf))
 
 
 # DuckDB replay: the m-unpivot computes sub-distances with expression
@@ -875,23 +852,29 @@ def ann_recall_report(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("total")
     )
     exact = ann_cosine_topk(spark, sf).select("vec_id")
-    approx = (
-        ann_lsh_topk(spark, sf).select(F.lit("lsh").alias("method"), "vec_id")
-        .unionByName(
-            ann_ivf_topk(spark, sf).select(F.lit("ivf").alias("method"), "vec_id")
-        )
-        .unionByName(
-            ann_pq_topk(spark, sf).select(F.lit("pq").alias("method"), "vec_id")
-        )
-    )
-    ncand = (
-        _lsh_candidates(spark, sf)
-        .select(F.lit("lsh").alias("method"))
-        .unionByName(_ivf_candidates(spark, sf).select(F.lit("ivf").alias("method")))
-        .unionByName(_pq_candidates(spark, sf).select(F.lit("pq").alias("method")))
-        .groupBy("method")
-        .agg(F.count("*").alias("n_candidates"))
-    )
+    # each method's candidate pipeline (the expensive part — the full
+    # signature/assignment pass over the store) is computed ONCE and
+    # persisted; both consumers (the exact re-rank and the scanned-count)
+    # read the persisted frame.  Spark does not CSE across separate
+    # DataFrame subtrees, so calling ann_*_topk AND _*_candidates here
+    # used to run every pipeline twice.
+    cands = {
+        "lsh": _lsh_candidates(spark, sf).persist(),
+        "ivf": _ivf_candidates(spark, sf).persist(),
+        "pq": _pq_candidates(spark, sf).persist(),
+    }
+    approx_parts = [
+        _rerank_topk(e, c).select(F.lit(m).alias("method"), "vec_id")
+        for m, c in cands.items()
+    ]
+    approx = approx_parts[0]
+    for part in approx_parts[1:]:
+        approx = approx.unionByName(part)
+    ncand_parts = [c.select(F.lit(m).alias("method")) for m, c in cands.items()]
+    ncand = ncand_parts[0]
+    for part in ncand_parts[1:]:
+        ncand = ncand.unionByName(part)
+    ncand = ncand.groupBy("method").agg(F.count("*").alias("n_candidates"))
     hit = exact.withColumn("_hit", F.lit(1))
     rec = (
         approx.join(hit, "vec_id", "left")
