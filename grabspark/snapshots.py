@@ -20,13 +20,31 @@ cluster the same protocol works against any filesystem with atomic rename
 
 from __future__ import annotations
 
+import functools
 import json
 import os
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
+
+
+def _serialized(fn):
+    """Serialize committing methods per table instance.  The engine
+    overlaps independent tables' jobs from driver threads; two
+    read-modify-write commits on the SAME table (e.g. a retried round
+    racing a leaked in-flight commit) would both read parent v and write
+    v+1, silently dropping one.  A per-instance lock makes same-table
+    writers strictly sequential; cross-table concurrency is untouched."""
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        with self._commit_lock:
+            return fn(self, *args, **kwargs)
+
+    return wrapper
 
 
 class SnapshotTable:
@@ -47,6 +65,7 @@ class SnapshotTable:
         direct file reads keep the full schema."""
         self.spark = spark
         self.path = path
+        self._commit_lock = threading.RLock()
         self._schema = schema
         self.partition_col = partition_col
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
@@ -164,6 +183,7 @@ class SnapshotTable:
             return df
         return df.select([F.col(f.name).cast(f.dataType) for f in schema.fields])
 
+    @_serialized
     def append(self, df: DataFrame, meta: dict | None = None) -> int:
         """Append-only commit: new files + parent's files (O(new) IO)."""
         parent = self.current_version()
@@ -177,6 +197,7 @@ class SnapshotTable:
         m.update(meta or {})
         return self._commit(all_files, all_rows, m, parent, added=files, parts=all_parts)
 
+    @_serialized
     def overwrite(self, df: DataFrame, meta: dict | None = None) -> int:
         parent = self.current_version()
         files, rows, parts = self._write_batch(df)
@@ -192,10 +213,12 @@ class SnapshotTable:
     def prepare_overwrite(self, df: DataFrame) -> tuple[list[str], int, dict]:
         return self._write_batch(df)
 
+    @_serialized
     def commit_prepared(self, prepared: tuple[list[str], int, dict], meta: dict | None = None) -> int:
         files, rows, parts = prepared
         return self._commit(files, rows, meta or {}, self.current_version(), parts=parts)
 
+    @_serialized
     def rollback(self, version: int) -> int:
         """Point CURRENT at ``version``'s state via a new commit (time
         travel for exact resume after a torn engine round)."""
@@ -209,6 +232,7 @@ class SnapshotTable:
             m["files"], m["rows"], m.get("meta", {}), parent, added=[], parts=m.get("parts", {})
         )
 
+    @_serialized
     def commit_meta(self, meta: dict) -> int:
         """New snapshot with unchanged data, updated metadata."""
         parent = self.current_version()
@@ -221,6 +245,7 @@ class SnapshotTable:
 
     # -- row-level ops (copy-on-write, Iceberg MERGE/DELETE-shaped) ----------
 
+    @_serialized
     def upsert(self, updates: DataFrame, keys: list[str], meta: dict | None = None) -> int:
         """MERGE: rows matching ``keys`` are replaced by ``updates``; new
         keys are inserted (≙ the reference's ``UPDATE Users SET ... WHERE
@@ -263,6 +288,7 @@ class SnapshotTable:
         m.update(meta or {})
         return self._commit(all_files, kept_rows + rows, m, parent, added=files, parts=all_parts)
 
+    @_serialized
     def compact(self, target_file_bytes: int = 128 << 20, meta: dict | None = None) -> int:
         """Iceberg ``rewrite_data_files``-shaped compaction: rewrite the
         current live file set into ~``target_file_bytes`` files (one file
@@ -300,6 +326,7 @@ class SnapshotTable:
         m = self.manifest(version)
         return 0 if m is None else len(m["files"])
 
+    @_serialized
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """Iceberg ``expire_snapshots``-shaped retention: keep the newest
         ``keep_last`` snapshots (always including CURRENT), delete older
@@ -350,6 +377,7 @@ class SnapshotTable:
             "freed_bytes": freed,
         }
 
+    @_serialized
     def delete_where(self, condition, meta: dict | None = None) -> int:
         """DELETE FROM ... WHERE condition (≙ the reference's token delete
         and the hourly TTL event, /root/reference/database/mysql.go:83-91,

@@ -411,3 +411,25 @@ def test_snapshot_prepare_commit_split_and_torn_prepare(spark, tmp_path):
     assert {r.x for r in t2.read().collect()} == {3, 4, 5}
     m = t2.manifest(v1)
     assert not set(orphan_files) & set(m["files"])
+
+
+def test_concurrent_same_table_commits_are_serialized(spark, tmp_path):
+    """The engine overlaps round jobs from driver threads; two commits
+    racing on ONE table must both land (the per-instance commit lock) —
+    an unserialized read-modify-write pair would both read parent v,
+    both write v+1, and silently drop one."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from grabspark.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "race"))
+    df = spark.createDataFrame([(i,) for i in range(10)], "x int")
+    with ThreadPoolExecutor(4) as pool:
+        versions = list(pool.map(lambda i: t.append(df, meta={"i": i}), range(8)))
+    assert sorted(versions) == list(range(8))
+    assert t.row_count() == 80
+    with ThreadPoolExecutor(4) as pool:
+        mv = list(pool.map(lambda i: t.commit_meta({f"k{i}": i}), range(8)))
+    assert len(set(mv)) == 8
+    meta = t.meta()
+    assert all(f"k{i}" in meta for i in range(8))
