@@ -45,11 +45,18 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    # corpus band/sig stores build once (first pass, cached); the min
+    # times the batch-vs-stored-corpus probe — the per-ingest cost
+    "dedup_incremental",
     "dedup_simhash",
     "simhash64_near_dup",
     "dedup_embedding_cosine",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    # index build runs once (first interleaved pass) and is cached; the
+    # best-of min times the probe->prune->re-rank path, the real
+    # at-scale query cost (build amortizes at ingest)
+    "ann_lsh_index_topk",
     "ann_ivf_topk",
     "ann_pq_topk",
     # knn_per_label (all-pairs O(n^2)) is deliberately NOT a headline: it
