@@ -253,6 +253,8 @@ _INTERMEDIATE_LAST = (
 _BEYOND_GATE = (
     "ann_lsh_index_topk",
     "dedup_incremental",
+    "decontaminate",
+    "repetition_signals",
 )
 
 

@@ -816,6 +816,71 @@ FROM comp
 """
 
 
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (round 3): the training-pipeline op that
+# removes corpus documents overlapping an evaluation benchmark.  Public
+# pipelines (GPT-3 appx. C, The Pile, Gopher) define contamination as
+# sharing >= 1 long token n-gram with any benchmark document; the
+# benchmark set here is carved deterministically from the fixtures
+# (doc_id % 37 == 0) so both engines derive it identically.
+# 4-token grams: on the small-vocab fixture 3-grams flag ~60% of the
+# corpus (all boilerplate) while 5-grams flag ~1 doc; 4 is the
+# discriminative point (13-22 docs across SFs).  Real pipelines use 8-13.
+_DECON_N = 4
+_DECON_MOD = 37
+
+
+def _grams_expr(n: int) -> str:
+    """Spark SQL expr: all n-token grams of ``toks`` (1-based slots,
+    short-doc guarded like _shingles_of)."""
+    parts = ", ".join(f"toks[i{'+' + str(k) if k else ''}-1]" for k in range(n))
+    return (
+        f"CASE WHEN size(toks) >= {n} THEN "
+        f"transform(sequence(1, size(toks) - {n - 1}), "
+        f"i -> concat_ws(' ', {parts})) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+
+
+def decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing >= 1 distinct
+    4-token gram with the benchmark slice, with the overlap count.
+
+    100 TB shape: the benchmark gram set is MB-scale however big the
+    corpus is, so it BROADCASTS — the corpus stream is filtered map-side
+    (no corpus shuffle at the join) and only the matched (doc_id, gram)
+    rows reach the single count-distinct aggregate.  Output columns are
+    exact integers.
+    """
+    d = T(spark, sf, "documents").select("doc_id", F.expr(_TOKENS).alias("toks"))
+    grams = d.select("doc_id", F.explode(F.expr(_grams_expr(_DECON_N))).alias("gram"))
+    bench = (
+        grams.filter(F.col("doc_id") % _DECON_MOD == 0).select("gram").distinct()
+    )
+    corpus = grams.filter(F.col("doc_id") % _DECON_MOD != 0)
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_hits"))
+        .select("doc_id", "n_hits")
+    )
+
+
+_DECON_GRAM_DUCK = " || ' ' || ".join(f"toks[i+{k}]" for k in range(_DECON_N))
+_DECON_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, {_DECON_GRAM_DUCK} AS gram
+  FROM (SELECT doc_id, {_TOKENS_DUCK} AS toks FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - {_DECON_N - 1}, 0))) AS i) g
+),
+bench AS (SELECT DISTINCT gram FROM sh WHERE doc_id % {_DECON_MOD} = 0),
+corpus AS (SELECT doc_id, gram FROM sh WHERE doc_id % {_DECON_MOD} <> 0)
+SELECT doc_id, CAST(count(DISTINCT c.gram) AS BIGINT) AS n_hits
+FROM corpus c JOIN bench b USING (gram)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "ngram_hot_shingles": ngram_hot_shingles,
@@ -826,6 +891,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "simhash64_near_dup": simhash64_near_dup,
     "dedup_components": dedup_components,
+    "decontaminate": decontaminate,
 }
 
 ORACLES = {
@@ -838,4 +904,5 @@ ORACLES = {
     "dedup_simhash": _SIMHASH_SQL,
     "simhash64_near_dup": _SIMHASH64_SQL,
     "dedup_components": _COMPONENTS_SQL,
+    "decontaminate": _DECON_SQL,
 }

@@ -392,6 +392,75 @@ FROM c
 """
 
 
+# ---------------------------------------------------------------------------
+# Repetition signals (round 3): the Gopher-style within-document
+# repetition filters (Rae et al. 2021 §A1.1, public) — the fraction of
+# 2-gram occurrences taken by the single most frequent 2-gram, and the
+# fraction occupied by 2-grams that occur more than once.  High values
+# mark low-quality/generated text for corpus curation.
+def repetition_signals(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc 2-gram repetition stats as exact integers: total 2-gram
+    occurrences, the top 2-gram's count, duplicated-occurrence count, and
+    both fractions scaled to basis points (x10000, floor-div — float-free
+    for the oracle hash).
+
+    100 TB shape: explode -> two codegen hash aggregates keyed on
+    (doc_id, gram) then doc_id — per-doc state never exceeds one row per
+    distinct gram, so arbitrarily large documents stream through the
+    partial aggregate instead of materializing per-doc arrays.
+    """
+    d = T(spark, sf, "documents").select("doc_id", F.expr(_TOKENS).alias("toks"))
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 2 THEN "
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> concat_ws(' ', toks[i-1], toks[i])) "
+                "ELSE CAST(array() AS ARRAY<STRING>) END"
+            )
+        ).alias("gram"),
+    )
+    per_gram = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.max("cnt").alias("top_cnt"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0))).alias(
+                "dup_cnt"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "top_cnt",
+            "dup_cnt",
+            F.expr("top_cnt * 10000 DIV n_grams").alias("top_frac_bp"),
+            F.expr("dup_cnt * 10000 DIV n_grams").alias("dup_frac_bp"),
+        )
+    )
+
+
+_REP_SQL = f"""
+WITH g AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram
+  FROM (SELECT doc_id, {_TOKENS_DUCK} AS toks FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS i) t
+),
+pg AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_grams,
+       CAST(max(cnt) AS BIGINT) AS top_cnt,
+       CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_cnt,
+       CAST(max(cnt) * 10000 // sum(cnt) AS BIGINT) AS top_frac_bp,
+       CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) * 10000 // sum(cnt) AS BIGINT)
+         AS dup_frac_bp
+FROM pg
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "text_cleanup": text_cleanup,
     "token_count": token_count,
@@ -402,6 +471,7 @@ QUERIES = {
     "corpus_curation": corpus_curation,
     "ngram_counts": ngram_counts,
     "pii_scrub": pii_scrub,
+    "repetition_signals": repetition_signals,
 }
 
 ORACLES = {
@@ -414,4 +484,5 @@ ORACLES = {
     "corpus_curation": _curation_sql(),
     "ngram_counts": _NGRAM_SQL,
     "pii_scrub": _PII_SQL,
+    "repetition_signals": _REP_SQL,
 }

@@ -342,3 +342,28 @@ def test_corpus_curation_single_shuffle(spark):
     # column pruning: the scan reads only doc_id + text
     m = re.search(r"ReadSchema: struct<([^>]*)>", p)
     assert sorted(c.split(":")[0] for c in m.group(1).split(",")) == ["doc_id", "text"]
+
+
+def test_decontaminate_bench_side_is_broadcast(spark):
+    """Decontamination's 100 TB contract: the benchmark gram set is the
+    small side and must broadcast — the corpus stream is filtered
+    map-side with no corpus shuffle at the join (only the matched rows
+    reach the count-distinct aggregate)."""
+    from grabspark.ops import dedup
+
+    p = plan(dedup.decontaminate(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_repetition_signals_partial_agg(spark):
+    """Both repetition aggregates must keep map-side partials (4 agg
+    nodes: partial+final per groupBy) and read only doc_id + text."""
+    import re
+
+    from grabspark.ops import textstats
+
+    p = plan(textstats.repetition_signals(spark, SF))
+    assert len(re.findall(r"\(\d+\) (?:Sort|Hash|ObjectHash)Aggregate", p)) == 4
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert sorted(c.split(":")[0] for c in m.group(1).split(",")) == ["doc_id", "text"]
