@@ -75,6 +75,8 @@ HEADLINE = [
     "corpus_curation",
     "ngram_counts",
     "pii_scrub",
+    "repetition_signals",
+    "decontaminate",
     "sitemap_parse",
     "audio_features",
     "video_frame_sample",
