@@ -255,6 +255,7 @@ _BEYOND_GATE = (
     "dedup_incremental",
     "decontaminate",
     "repetition_signals",
+    "stratified_sample",
 )
 
 

@@ -77,6 +77,7 @@ HEADLINE = [
     "pii_scrub",
     "repetition_signals",
     "decontaminate",
+    "stratified_sample",
     "sitemap_parse",
     "audio_features",
     "video_frame_sample",

@@ -461,6 +461,51 @@ GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Stratified sampling (round 3): deterministic per-language sampling for
+# training-mixture construction — exactly k docs per language, selected
+# by md5 hash order so the sample is uniform, reproducible, and both
+# engines agree bit-for-bit.
+_SAMPLE_K = 25
+
+
+def stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Exactly min(k, group size) docs per ``lang``, the k smallest
+    md5('samp:' || doc_id) hashes, ranked 1..k.
+
+    100 TB shape: the declarative single-window form IS the scalable
+    one on Spark 4 — Catalyst inserts a *Partial* ``WindowGroupLimit``
+    below the exchange (rank-limit pushdown, SPARK-37099), so every map
+    partition ships at most k rows per stratum and the per-lang reducer
+    sorts (#map partitions × k) rows, never a billion-row stratum.  A
+    hand-rolled salted two-phase top-k was measured to produce the same
+    bound with one EXTRA exchange — the optimizer's form wins (the plan
+    guard pins the Partial limit below the single exchange).
+    """
+    d = T(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        F.md5(F.concat(F.lit("samp:"), F.col("doc_id").cast("string"))).alias("h"),
+    )
+    w = Window.partitionBy("lang").orderBy("h")
+    return (
+        d.withColumn("samp_rank", F.row_number().over(w))
+        .filter(F.col("samp_rank") <= _SAMPLE_K)
+        .select("doc_id", "lang", "samp_rank")
+    )
+
+
+_SAMPLE_SQL = f"""
+SELECT doc_id, lang, samp_rank FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY md5('samp:' || CAST(doc_id AS VARCHAR))
+         ) AS samp_rank
+  FROM documents
+) WHERE samp_rank <= {_SAMPLE_K}
+"""
+
+
 QUERIES = {
     "text_cleanup": text_cleanup,
     "token_count": token_count,
@@ -472,6 +517,7 @@ QUERIES = {
     "ngram_counts": ngram_counts,
     "pii_scrub": pii_scrub,
     "repetition_signals": repetition_signals,
+    "stratified_sample": stratified_sample,
 }
 
 ORACLES = {
@@ -485,4 +531,5 @@ ORACLES = {
     "ngram_counts": _NGRAM_SQL,
     "pii_scrub": _PII_SQL,
     "repetition_signals": _REP_SQL,
+    "stratified_sample": _SAMPLE_SQL,
 }

@@ -367,3 +367,20 @@ def test_repetition_signals_partial_agg(spark):
     assert len(re.findall(r"\(\d+\) (?:Sort|Hash|ObjectHash)Aggregate", p)) == 4
     m = re.search(r"ReadSchema: struct<([^>]*)>", p)
     assert sorted(c.split(":")[0] for c in m.group(1).split(",")) == ["doc_id", "text"]
+
+
+def test_stratified_sample_rank_limit_pushes_down(spark):
+    """The sampler's 100 TB contract: ONE exchange, with Catalyst's
+    Partial WindowGroupLimit (rank-limit pushdown) BELOW it so each map
+    partition ships at most k rows per stratum — the reducer never sorts
+    a whole language stratum."""
+    import re
+
+    from grabspark.ops import textstats
+
+    p = plan(textstats.stratified_sample(spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    partial = re.search(r"\(\d+\) WindowGroupLimit[\s\S]*?Partial", p)
+    assert partial is not None, "map-side Partial WindowGroupLimit missing"
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert sorted(c.split(":")[0] for c in m.group(1).split(",")) == ["doc_id", "lang"]
