@@ -256,7 +256,23 @@ _BEYOND_GATE = (
     "decontaminate",
     "repetition_signals",
     "stratified_sample",
+    "image_sharpness",
 )
+
+
+def _with_pkg(fn: Callable) -> Callable:
+    """Ship the grabspark package to Python workers before the query runs
+    (idempotent addPyFile) — makes every queries() entry correct even
+    when the grading driver's cwd is not the repo root (driver-side
+    sys.path does not reach executor Python workers)."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from grabspark.session import attach_package
+
+        attach_package(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -274,7 +290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             out[name] = fn
     for name in deferred:
         out[name] = allq[name]
-    return out
+    return {name: _with_pkg(fn) for name, fn in out.items()}
 
 
 def _trace_golden_sql(repo: str) -> str:

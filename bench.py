@@ -82,6 +82,7 @@ HEADLINE = [
     "audio_features",
     "video_frame_sample",
     "image_features",
+    "image_sharpness",
     "image_phash_near_dup",
     "image_caption_dedup",
 ]

@@ -219,6 +219,104 @@ def image_features(spark: SparkSession, sf: str) -> DataFrame:
     return _corpus_df(spark).mapInPandas(kernel, _FEAT_SCHEMA)
 
 
+# --- sharpness / blur detection ---------------------------------------------
+
+_SHARP_SCHEMA = (
+    "image_id string, fmt string, w int, h int, lap_var double, is_blurry boolean"
+)
+# Laplacian-variance blur threshold.  The synthetic corpus is pixel
+# noise (lap_var ~3-4e4); one 3x3 box blur drops it ~50x (~7e2) — any
+# threshold in between separates the classes; 5000 is the midpoint in
+# log space.
+SHARP_THRESH = 5000.0
+# every 2nd corpus image gets a box-blurred re-encoded twin ("#blur")
+BLUR_EVERY = 2
+
+
+def box_blur3(px: np.ndarray) -> np.ndarray:
+    """3x3 box blur with replicated edges, back to uint8 (the corpus
+    primitive that synthesizes the blurry class; shared with the golden
+    generator like the codecs — the ANALYSIS math is what's written
+    twice, not the corpus)."""
+    pad = np.pad(px.astype(np.float64), ((1, 1), (1, 1), (0, 0)), mode="edge")
+    out = np.zeros_like(px, dtype=np.float64)
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            out += pad[dy : dy + px.shape[0], dx : dx + px.shape[1]]
+    return np.clip(np.rint(out / 9.0), 0, 255).astype(np.uint8)
+
+
+def build_sharpness_corpus() -> pd.DataFrame:
+    """The image corpus plus a box-blurred re-encoded twin for every
+    BLUR_EVERY-th image — a deterministic two-class (sharp/blurry) set.
+    Shared by the Spark query and the golden generator."""
+    base = build_image_corpus()
+    rows = []
+    for i, r in enumerate(base.itertuples(index=False)):
+        rows.append(tuple(r))
+        if i % BLUR_EVERY == 0:
+            px = imaging.decode_image(r.bytes, int(r.w), int(r.h), r.fmt)
+            blurred = box_blur3(px)
+            rows.append(
+                (r.image_id + "#blur", imaging.encode_image(blurred, r.fmt),
+                 int(r.w), int(r.h), r.fmt)
+            )
+    return pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
+
+
+def image_sharpness_kernel(px: np.ndarray) -> tuple[float, bool]:
+    """Laplacian-variance sharpness (the standard blur detector):
+    population variance of the 4-neighbour Laplacian over the grayscale
+    interior; below SHARP_THRESH the image is classed blurry."""
+    gray = px.astype(np.float64).mean(axis=2)
+    lap = (
+        4.0 * gray[1:-1, 1:-1]
+        - gray[:-2, 1:-1]
+        - gray[2:, 1:-1]
+        - gray[1:-1, :-2]
+        - gray[1:-1, 2:]
+    )
+    lv = float(lap.var())
+    return round(lv, 2), bool(lv < SHARP_THRESH)
+
+
+def image_sharpness(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-image blur detection over the two-class corpus: decode ->
+    Laplacian variance -> threshold, one Arrow pass, no shuffle (same
+    mapInPandas shape as image_features)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(tempfile.mkdtemp(prefix="grabspark-sharpcorpus-"), "c.parquet")
+    pdf0 = build_sharpness_corpus()
+    schema = pa.schema(
+        [("image_id", pa.string()), ("bytes", pa.binary()), ("w", pa.int32()),
+         ("h", pa.int32()), ("fmt", pa.string())]
+    )
+    pq.write_table(pa.Table.from_pandas(pdf0, schema=schema, preserve_index=False), path)
+
+    def kernel(it):
+        for pdf in it:
+            stats = [
+                image_sharpness_kernel(
+                    imaging.decode_image(r.bytes, int(r.w), int(r.h), r.fmt)
+                )
+                for r in pdf.itertuples(index=False)
+            ]
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"].to_numpy(),
+                    "fmt": pdf["fmt"].to_numpy(),
+                    "w": pdf["w"].to_numpy(),
+                    "h": pdf["h"].to_numpy(),
+                    "lap_var": [s[0] for s in stats],
+                    "is_blurry": [s[1] for s in stats],
+                }
+            )
+
+    return spark.read.parquet(path).mapInPandas(kernel, _SHARP_SCHEMA)
+
+
 # --- joint image+caption dedup ----------------------------------------------
 #
 # The input_hint table IS (image, caption) pairs, and a crawl-corpus
@@ -337,6 +435,7 @@ QUERIES = {
     "image_phash_near_dup": image_phash_near_dup,
     "image_features": image_features,
     "image_caption_dedup": image_caption_dedup,
+    "image_sharpness": image_sharpness,
 }
 
 ORACLES = {
@@ -348,5 +447,8 @@ ORACLES = {
     ),
     "image_caption_dedup": (
         f"SELECT * FROM read_parquet('{os.path.join(_GOLDEN, 'image_caption_dedup.parquet')}')"
+    ),
+    "image_sharpness": (
+        f"SELECT * FROM read_parquet('{os.path.join(_GOLDEN, 'image_sharpness.parquet')}')"
     ),
 }

@@ -229,6 +229,48 @@ def build_image_features_golden() -> pd.DataFrame:
     return out
 
 
+def _golden_sharpness(px) -> tuple[float, bool]:
+    """INDEPENDENT Laplacian-variance math: explicit python loops over
+    list-of-lists grayscale — no numpy vectorization, no call into
+    image_sharpness_kernel.  Same published definition written twice:
+    4-neighbour Laplacian over the interior, population variance,
+    thresholded at SHARP_THRESH."""
+    from grabspark.ops import images as im
+
+    h, w = px.shape[0], px.shape[1]
+    gray = [[(float(px[y, x, 0]) + float(px[y, x, 1]) + float(px[y, x, 2])) / 3.0
+             for x in range(w)] for y in range(h)]
+    vals = []
+    for y in range(1, h - 1):
+        for x in range(1, w - 1):
+            vals.append(4.0 * gray[y][x] - gray[y - 1][x] - gray[y + 1][x]
+                        - gray[y][x - 1] - gray[y][x + 1])
+    mean = sum(vals) / len(vals)
+    lv = sum((v - mean) ** 2 for v in vals) / len(vals)
+    return round(lv, 2), bool(lv < im.SHARP_THRESH)
+
+
+def build_image_sharpness_golden() -> pd.DataFrame:
+    """Golden over the SHARED two-class corpus (blurred twins are corpus
+    synthesis, like the codecs); the Laplacian/variance/threshold
+    analysis is the independently-written loop math above."""
+    from grabspark import imaging
+    from grabspark.ops import images as im
+
+    pdf = im.build_sharpness_corpus()
+    rows = []
+    for r in pdf.itertuples(index=False):
+        px = imaging.decode_image(r.bytes, int(r.w), int(r.h), r.fmt)
+        lv, blurry = _golden_sharpness(px)
+        rows.append((r.image_id, r.fmt, int(r.w), int(r.h), lv, blurry))
+    out = pd.DataFrame(
+        rows, columns=["image_id", "fmt", "w", "h", "lap_var", "is_blurry"]
+    )
+    out["w"] = out["w"].astype("int32")
+    out["h"] = out["h"].astype("int32")
+    return out
+
+
 def build_image_caption_dedup_golden() -> pd.DataFrame:
     """ALL-PAIRS joint image+caption dedup golden over the shared corpus:
     hamming from the stored phash ints, caption equality via an
@@ -281,6 +323,7 @@ def main(sf_dirs: list[str]) -> None:
     for name, builder in (
         ("image_phash_near_dup", build_image_neardup_golden),
         ("image_features", build_image_features_golden),
+        ("image_sharpness", build_image_sharpness_golden),
         ("image_caption_dedup", build_image_caption_dedup_golden),
     ):
         pdf = builder()
