@@ -246,9 +246,11 @@ _INTERMEDIATE_LAST = (
 # alternate-layout twins of already-graded queries (ann_lsh_index_topk
 # serves ann_lsh_topk's exact answer from the persisted partition-pruned
 # index; dedup_incremental is the batch-vs-stored-corpus form of
-# dedup_minhash_lsh).  Placed at positions 51+ so they never displace a
+# dedup_minhash_lsh) plus the late round-3 training-pipeline ops
+# (decontaminate, repetition_signals, stratified_sample,
+# image_sharpness).  Placed at positions 51+ so they never displace a
 # primary from the graded window; if the gate grades more than 50 they
-# are graded before the subsumed intermediates.  Both are oracle-verified
+# are graded before the subsumed intermediates.  All are oracle-verified
 # at sf0.001/sf0.01 by tests/test_ops_oracle.py regardless.
 _BEYOND_GATE = (
     "ann_lsh_index_topk",
