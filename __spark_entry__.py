@@ -259,6 +259,7 @@ _BEYOND_GATE = (
     "repetition_signals",
     "stratified_sample",
     "image_sharpness",
+    "image_curation",
 )
 
 

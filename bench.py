@@ -83,6 +83,7 @@ HEADLINE = [
     "video_frame_sample",
     "image_features",
     "image_sharpness",
+    "image_curation",
     "image_phash_near_dup",
     "image_caption_dedup",
 ]

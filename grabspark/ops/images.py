@@ -431,11 +431,105 @@ def image_caption_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- composed image-corpus curation ------------------------------------------
+
+_CUR_STATS_SCHEMA = (
+    "image_id string, fmt string, lap_var double, is_blurry boolean, sig string"
+)
+
+
+def image_curation(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed image-curation pipeline (the image-axis analogue of
+    ``corpus_curation``): blur gate -> perceptual near-dup drop -> kept
+    set, over the two-class sharpness corpus.
+
+    Shape for 100 TB: ONE Arrow decode pass computes BOTH signals
+    (Laplacian variance + 64-bit pHash) so pixels are read once; the blur
+    gate drops rows before the near-dup join; dedup is the banded
+    signature equi-join (never all-pairs) over the persisted
+    signature-width frame.  Drop rule is deterministic first-occurrence:
+    an image is dropped iff some LOWER image_id is within hamming <=
+    HAM_MAX — order-free, so both engines agree without sequential
+    greedy state.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(tempfile.mkdtemp(prefix="grabspark-curcorpus-"), "c.parquet")
+    pdf0 = build_sharpness_corpus()
+    schema = pa.schema(
+        [("image_id", pa.string()), ("bytes", pa.binary()), ("w", pa.int32()),
+         ("h", pa.int32()), ("fmt", pa.string())]
+    )
+    pq.write_table(pa.Table.from_pandas(pdf0, schema=schema, preserve_index=False), path)
+
+    def kernel(it):
+        for pdf in it:
+            lap, blur, sigs = [], [], []
+            for r in pdf.itertuples(index=False):
+                px = imaging.decode_image(r.bytes, int(r.w), int(r.h), r.fmt)
+                lv, b = image_sharpness_kernel(px)
+                lap.append(lv)
+                blur.append(b)
+                sigs.append(format(imaging.phash64(px) & ((1 << 64) - 1), "064b"))
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"].to_numpy(),
+                    "fmt": pdf["fmt"].to_numpy(),
+                    "lap_var": lap,
+                    "is_blurry": blur,
+                    "sig": sigs,
+                }
+            )
+
+    sharp = (
+        spark.read.parquet(path)
+        .mapInPandas(kernel, _CUR_STATS_SCHEMA)
+        .filter(~F.col("is_blurry"))
+        .persist()
+    )
+    banded = sharp.select(
+        "image_id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[F.substring("sig", b * _BAND_BITS + 1, _BAND_BITS) for b in range(_BANDS)]
+            )
+        ).alias("band", "bucket"),
+    )
+    a, b2 = banded.alias("a"), banded.alias("b")
+    ham = (
+        "size(filter(sequence(1, 64), "
+        "i -> substring(sig_a, i, 1) != substring(sig_b, i, 1)))"
+    )
+    drops = (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.image_id") < F.col("b.image_id")),
+        )
+        .select(
+            F.col("b.image_id").alias("img_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+        .filter(F.expr(ham).cast("int") <= HAM_MAX)
+        .select("img_b")
+        .distinct()
+    )
+    return sharp.join(
+        drops, sharp.image_id == drops.img_b, "left_anti"
+    ).select("image_id", "fmt", "lap_var")
+
+
 QUERIES = {
     "image_phash_near_dup": image_phash_near_dup,
     "image_features": image_features,
     "image_caption_dedup": image_caption_dedup,
     "image_sharpness": image_sharpness,
+    "image_curation": image_curation,
 }
 
 ORACLES = {
@@ -450,5 +544,8 @@ ORACLES = {
     ),
     "image_sharpness": (
         f"SELECT * FROM read_parquet('{os.path.join(_GOLDEN, 'image_sharpness.parquet')}')"
+    ),
+    "image_curation": (
+        f"SELECT * FROM read_parquet('{os.path.join(_GOLDEN, 'image_curation.parquet')}')"
     ),
 }

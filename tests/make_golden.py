@@ -271,6 +271,34 @@ def build_image_sharpness_golden() -> pd.DataFrame:
     return out
 
 
+def build_image_curation_golden() -> pd.DataFrame:
+    """Composed curation golden over the shared two-class corpus:
+    the blur gate uses the independent loop-math Laplacian above; the
+    near-dup drop is ALL-PAIRS hamming over the sharp set (vs the query's
+    banded join — pigeonhole guarantees the banding loses no pair at
+    <= HAM_MAX).  Drop rule mirrored exactly: an image is dropped iff
+    some lower image_id in the sharp set is within hamming <= HAM_MAX."""
+    from grabspark import imaging
+    from grabspark.ops import images as im
+
+    pdf = im.build_sharpness_corpus()
+    sharp = []
+    for r in pdf.itertuples(index=False):
+        px = imaging.decode_image(r.bytes, int(r.w), int(r.h), r.fmt)
+        lv, blurry = _golden_sharpness(px)
+        if not blurry:
+            sharp.append((r.image_id, r.fmt, lv, imaging.phash64(px)))
+    dropped = set()
+    for i in range(len(sharp)):
+        for j in range(len(sharp)):
+            if sharp[i][0] < sharp[j][0] and (
+                imaging.hamming64(sharp[i][3], sharp[j][3]) <= im.HAM_MAX
+            ):
+                dropped.add(sharp[j][0])
+    rows = [(iid, fmt, lv) for iid, fmt, lv, _ in sharp if iid not in dropped]
+    return pd.DataFrame(rows, columns=["image_id", "fmt", "lap_var"])
+
+
 def build_image_caption_dedup_golden() -> pd.DataFrame:
     """ALL-PAIRS joint image+caption dedup golden over the shared corpus:
     hamming from the stored phash ints, caption equality via an
@@ -324,6 +352,7 @@ def main(sf_dirs: list[str]) -> None:
         ("image_phash_near_dup", build_image_neardup_golden),
         ("image_features", build_image_features_golden),
         ("image_sharpness", build_image_sharpness_golden),
+        ("image_curation", build_image_curation_golden),
         ("image_caption_dedup", build_image_caption_dedup_golden),
     ):
         pdf = builder()
