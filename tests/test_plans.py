@@ -384,3 +384,14 @@ def test_stratified_sample_rank_limit_pushes_down(spark):
     assert partial is not None, "map-side Partial WindowGroupLimit missing"
     m = re.search(r"ReadSchema: struct<([^>]*)>", p)
     assert sorted(c.split(":")[0] for c in m.group(1).split(",")) == ["doc_id", "lang"]
+
+
+def test_image_curation_no_cartesian_single_kernel_pass(spark):
+    """Curation's 100 TB contract: the decode kernel result is persisted
+    (pixels read once, reused by the banded self-join) and candidates
+    come from the bucket equi-join — never a cartesian product."""
+    from grabspark.ops import images
+
+    p = plan(images.image_curation(spark, SF))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "InMemoryTableScan" in p or "TableCacheQueryStage" in p
