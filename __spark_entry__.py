@@ -260,6 +260,7 @@ _BEYOND_GATE = (
     "stratified_sample",
     "image_sharpness",
     "image_curation",
+    "sessionize_events",
 )
 
 

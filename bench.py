@@ -72,6 +72,7 @@ HEADLINE = [
     "quality_score",
     "winnow_fingerprints",
     "event_window_agg",
+    "sessionize_events",
     "corpus_curation",
     "ngram_counts",
     "pii_scrub",

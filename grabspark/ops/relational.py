@@ -710,6 +710,85 @@ FROM z, LATERAL (SELECT unnest(generate_series(1, len(locs))) AS i) g
 """
 
 
+# --- sessionization ----------------------------------------------------------
+#
+# Gap-based sessionization of the events stream (the log-processing op a
+# crawl/training pipeline runs over interaction or fetch logs): a new
+# session starts when a user's inter-event gap exceeds 30 minutes.
+# Exact-integer time math on BOTH engines (microseconds since epoch), so
+# the boundary comparison can never flip between Spark and DuckDB.
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user gap sessionization -> per-session rollup.
+
+    100 TB shape: ONE exchange on user_id serves the whole plan — the
+    lag window, the running-sum window, and the (user_id, session_idx)
+    aggregate are all clustered by a superset of user_id, so Catalyst
+    reuses the partitioning (no second shuffle); both windows share one
+    sort.  Output columns are exact integers.
+    """
+    # ts is TIMESTAMP_NTZ: micros as a wall-clock diff from a fixed
+    # anchor, identical on both engines REGARDLESS of session timezone
+    # (unix_micros would round-trip through the session TZ)
+    e = T(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
+        ).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    run = Window.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    flagged = e.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | ((F.col("us") - F.lag("us").over(w)) > _SESSION_GAP_US),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("session_idx", F.sum("new_sess").over(run))
+    return flagged.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+        F.expr("(max(us) - min(us)) DIV 1000000").alias("duration_sec"),
+    )
+
+
+_SESSIONIZE_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01') AS us
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w > {_SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, us,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       count(*) AS n_events,
+       min(event_id) AS first_event,
+       max(event_id) AS last_event,
+       CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS duration_sec
+FROM sess
+GROUP BY user_id, session_idx
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -730,6 +809,7 @@ QUERIES = {
     "link_extract_explode": link_extract_explode,
     "metrics_rollup": metrics_rollup,
     "event_window_agg": event_window_agg,
+    "sessionize_events": sessionize_events,
 }
 
 ORACLES = {
@@ -752,4 +832,5 @@ ORACLES = {
     "link_extract_explode": _EXTRACT_SQL,
     "metrics_rollup": _METRICS_SQL,
     "event_window_agg": _WINDOW_SQL,
+    "sessionize_events": _SESSIONIZE_SQL,
 }

@@ -395,3 +395,19 @@ def test_image_curation_no_cartesian_single_kernel_pass(spark):
     p = plan(images.image_curation(spark, SF))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "InMemoryTableScan" in p or "TableCacheQueryStage" in p
+
+
+def test_sessionize_single_exchange_shared_sort(spark):
+    """Sessionization's 100 TB contract: ONE exchange on user_id serves
+    the lag window, the running-sum window, and the per-session
+    aggregate (all clustered by a superset of user_id); both windows
+    share one sort and the aggregate keeps its map-side partial."""
+    import re
+
+    from grabspark.ops import relational
+
+    p = plan(relational.sessionize_events(spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert len(re.findall(r"\(\d+\) Window", p)) == 2
+    assert len(re.findall(r"\(\d+\) Sort", p)) == 1
+    assert len(re.findall(r"\(\d+\) \w*HashAggregate", p)) == 2
