@@ -261,6 +261,7 @@ _BEYOND_GATE = (
     "image_sharpness",
     "image_curation",
     "sessionize_events",
+    "chunk_documents",
 )
 
 

@@ -79,6 +79,7 @@ HEADLINE = [
     "repetition_signals",
     "decontaminate",
     "stratified_sample",
+    "chunk_documents",
     "sitemap_parse",
     "audio_features",
     "video_frame_sample",

@@ -506,6 +506,64 @@ SELECT doc_id, lang, samp_rank FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Context-window chunking (round 3): split each document into overlapping
+# token windows — the sequence-prep step every pretraining/RAG pipeline
+# runs before packing/embedding.  Window 32 tokens, stride 24 (25%
+# overlap); the trailing partial window is kept.
+_CHUNK_LEN = 32
+_CHUNK_STRIDE = 24
+
+
+def chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """One row per (doc, chunk): 0-based chunk_idx, token count, md5 of
+    the space-joined chunk (compact exact value surrogate for the text).
+
+    100 TB shape: pure map — transform over start positions + one
+    posexplode, no shuffle at all; chunk state never exceeds the row.
+    Docs with no tokens emit nothing.
+    """
+    d = T(spark, sf, "documents").select("doc_id", F.expr(_TOKENS).alias("toks"))
+    return d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(toks) >= 1 THEN "
+                f"transform(sequence(1, size(toks), {_CHUNK_STRIDE}), "
+                f"s -> concat_ws(' ', slice(toks, s, {_CHUNK_LEN}))) "
+                f"ELSE CAST(array() AS ARRAY<STRING>) END"
+            )
+        ).alias("chunk_idx", "chunk"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.expr("size(split(chunk, ' '))").alias("chunk_tokens"),
+        F.md5("chunk").alias("chunk_md5"),
+    )
+
+
+_CHUNK_SQL = f"""
+WITH d AS (SELECT doc_id, {_TOKENS_DUCK} AS toks FROM documents),
+starts AS (
+  SELECT doc_id, toks, CAST(s.i AS INT) AS s,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s.i) - 1 AS INT)
+           AS chunk_idx
+  FROM d, LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(toks), 0), {_CHUNK_STRIDE})) AS i
+  ) s
+),
+chunks AS (
+  SELECT doc_id, chunk_idx,
+         array_to_string(toks[s : least(s + {_CHUNK_LEN} - 1, len(toks))], ' ') AS chunk
+  FROM starts
+)
+SELECT doc_id, chunk_idx,
+       len(string_split(chunk, ' ')) AS chunk_tokens,
+       md5(chunk) AS chunk_md5
+FROM chunks
+"""
+
+
 QUERIES = {
     "text_cleanup": text_cleanup,
     "token_count": token_count,
@@ -518,6 +576,7 @@ QUERIES = {
     "pii_scrub": pii_scrub,
     "repetition_signals": repetition_signals,
     "stratified_sample": stratified_sample,
+    "chunk_documents": chunk_documents,
 }
 
 ORACLES = {
@@ -532,4 +591,5 @@ ORACLES = {
     "pii_scrub": _PII_SQL,
     "repetition_signals": _REP_SQL,
     "stratified_sample": _SAMPLE_SQL,
+    "chunk_documents": _CHUNK_SQL,
 }

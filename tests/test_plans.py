@@ -411,3 +411,17 @@ def test_sessionize_single_exchange_shared_sort(spark):
     assert len(re.findall(r"\(\d+\) Window", p)) == 2
     assert len(re.findall(r"\(\d+\) Sort", p)) == 1
     assert len(re.findall(r"\(\d+\) \w*HashAggregate", p)) == 2
+
+
+def test_chunk_documents_is_pure_map(spark):
+    """Chunking's 100 TB contract: zero exchanges — the transform +
+    posexplode pipeline is a pure map over the pruned (doc_id, text)
+    scan."""
+    import re
+
+    from grabspark.ops import textstats
+
+    p = plan(textstats.chunk_documents(spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 0
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert sorted(c.split(":")[0] for c in m.group(1).split(",")) == ["doc_id", "text"]
