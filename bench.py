@@ -156,7 +156,9 @@ def main() -> None:
         "store_b", os.path.join(base, "store_tbl"), ["image_id"],
     )
     seen_path, store_path = "table:seen_b", "table:store_b"
-    bl = bench_core.build_seen_bloom(spark, seen_path, n_bits=1 << 25)
+    from grabspark.bloom import bloom_bits_for
+
+    bl = bench_core.build_seen_bloom(spark, seen_path, n_bits=bloom_bits_for(FRONTIER_N))
     # warm-up round (JIT/codegen + sandbox CPU ramp), then best-of-2
     # measured rounds (this box's effective CPU varies with time)
     bench_core.run_frontier_round(

@@ -29,19 +29,24 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 
-def _session(cores: int, app: str):
+def _session(cores: int, app: str, shuffle_partitions: int = 64):
     from pyspark.sql import SparkSession
 
     # AQE re-optimizes at every exchange with a driver sync; for the
     # scaling measurement that serial planning time is Amdahl overhead,
     # so allow turning it off (GRABSPARK_AQE=0) — the plan is static
-    # 64-partition either way.
+    # either way.  Measured at 64M rows / local[16]: AQE on 135.8s vs
+    # off 64.2s on the identical round — the re-planning barrier after
+    # the candidate exchange defeats stage pipelining, and the cost is
+    # core-count-independent, so it reads as (bogus) scaling loss.
     aqe = os.environ.get("GRABSPARK_AQE", "1") != "0"
     spark = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
-        # identical plan at both parallelism levels — only core count differs
-        .config("spark.sql.shuffle.partitions", "64")
+        # identical plan at both parallelism levels — only core count
+        # differs; partition count tracks DATA size (meta.json), never
+        # core count
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # high-cardinality equi-joins (seen anti-join, fetch lookup) build
         # bounded per-partition hash maps instead of sorting both sides
         # every round — partitions are ~n/64 rows, well inside memory
@@ -66,8 +71,18 @@ def _session(cores: int, app: str):
 
 
 def prepare(data_dir: str, n_frontier: int) -> None:
-    spark = _session(32, "grabspark-scaling-prepare")
     from grabspark import bench_core
+    from grabspark.bloom import bloom_bits_for
+
+    # both knobs track DATA size (committed to meta.json so every later
+    # measurement reuses them): bucket/partition count keeps per-task
+    # working sets bounded as input grows; the Bloom is sized ~10 bits
+    # per expected key — the round-3 64M run against the old hardcoded
+    # 2^26 bits saturated the filter (est fpp ~1.0) and spent ~45% of
+    # wall time probing for zero pruning
+    n_buckets = bench_core.buckets_for(n_frontier)
+    n_bits = bloom_bits_for(n_frontier)
+    spark = _session(32, "grabspark-scaling-prepare", shuffle_partitions=n_buckets)
 
     os.makedirs(data_dir, exist_ok=True)
     # big join sides stored BUCKETED on their join keys (the 100 TB
@@ -75,40 +90,56 @@ def prepare(data_dir: str, n_frontier: int) -> None:
     # candidate side ever shuffles
     bench_core.write_bucketed(
         bench_core.synth_seen_df(spark, n_frontier, n_frontier, 1024),
-        "seen_b", os.path.join(data_dir, "seen_tbl"), ["url_canon"],
+        "seen_b", os.path.join(data_dir, "seen_tbl"), ["url_canon"], n_buckets,
     )
     bench_core.write_bucketed(
         bench_core.synth_store_df(spark, n_frontier // 2, n_frontier, 1024),
-        "store_b", os.path.join(data_dir, "store_tbl"), ["image_id"],
+        "store_b", os.path.join(data_dir, "store_tbl"), ["image_id"], n_buckets,
     )
-    bl = bench_core.build_seen_bloom(spark, "table:seen_b", n_bits=1 << 26)
+    bl = bench_core.build_seen_bloom(spark, "table:seen_b", n_bits=n_bits)
     bl.save(os.path.join(data_dir, "bloom"))
     with open(os.path.join(data_dir, "meta.json"), "w") as f:
-        json.dump({"n_frontier": n_frontier}, f)
-    print("# prepared", data_dir, file=sys.stderr)
+        json.dump(
+            {"n_frontier": n_frontier, "n_buckets": n_buckets, "bloom_bits": n_bits}, f
+        )
+    print(
+        f"# prepared {data_dir} (n_buckets={n_buckets}, bloom_bits=2^"
+        f"{n_bits.bit_length() - 1}, est_fpp={bl.est_fpp():.4f})",
+        file=sys.stderr,
+    )
+
+
+def _read_meta(data_dir: str) -> dict:
+    with open(os.path.join(data_dir, "meta.json")) as f:
+        m = json.load(f)
+    m.setdefault("n_buckets", 64)  # pre-sizing data dirs
+    return m
 
 
 def measure(data_dir: str, cores: int, out: str) -> None:
-    spark = _session(cores, f"grabspark-scaling-{cores}")
+    meta = _read_meta(data_dir)
+    n_frontier, n_buckets = meta["n_frontier"], meta["n_buckets"]
+    spark = _session(cores, f"grabspark-scaling-{cores}", shuffle_partitions=n_buckets)
     from grabspark import bench_core
     from grabspark.bloom import ShardedBloom
 
-    with open(os.path.join(data_dir, "meta.json")) as f:
-        n_frontier = json.load(f)["n_frontier"]
     bench_core.attach_bucketed(
-        spark, "seen_b", bench_core.SEEN_TBL_DDL, os.path.join(data_dir, "seen_tbl")
+        spark, "seen_b", bench_core.SEEN_TBL_DDL, os.path.join(data_dir, "seen_tbl"), n_buckets
     )
     bench_core.attach_bucketed(
-        spark, "store_b", bench_core.STORE_TBL_DDL, os.path.join(data_dir, "store_tbl")
+        spark, "store_b", bench_core.STORE_TBL_DDL, os.path.join(data_dir, "store_tbl"), n_buckets
     )
     seen = "table:seen_b"
     store = "table:store_b"
     bl = ShardedBloom.load(os.path.join(data_dir, "bloom"))
     # warm-up on the same key lattice as the full round
     bench_core.run_frontier_round(
-        spark, n_frontier // 4, seen, store, bl, space_unit=n_frontier
+        spark, n_frontier // 4, seen, store, bl, space_unit=n_frontier,
+        n_partitions=n_buckets,
     )
-    r = bench_core.run_frontier_round(spark, n_frontier, seen, store, bl)
+    r = bench_core.run_frontier_round(
+        spark, n_frontier, seen, store, bl, n_partitions=n_buckets
+    )
     payload = {
         "cores": cores,
         "n_frontier": r.n_frontier,
@@ -131,17 +162,17 @@ def measure_breakdown(data_dir: str, cores: int, out: str) -> None:
     -> full; per-stage cost = consecutive prefix difference."""
     import time
 
-    spark = _session(cores, f"grabspark-breakdown-{cores}")
+    meta = _read_meta(data_dir)
+    n_frontier, n_buckets = meta["n_frontier"], meta["n_buckets"]
+    spark = _session(cores, f"grabspark-breakdown-{cores}", shuffle_partitions=n_buckets)
     from grabspark import bench_core
     from grabspark.bloom import ShardedBloom
 
-    with open(os.path.join(data_dir, "meta.json")) as f:
-        n_frontier = json.load(f)["n_frontier"]
     bench_core.attach_bucketed(
-        spark, "seen_b", bench_core.SEEN_TBL_DDL, os.path.join(data_dir, "seen_tbl")
+        spark, "seen_b", bench_core.SEEN_TBL_DDL, os.path.join(data_dir, "seen_tbl"), n_buckets
     )
     bench_core.attach_bucketed(
-        spark, "store_b", bench_core.STORE_TBL_DDL, os.path.join(data_dir, "store_tbl")
+        spark, "store_b", bench_core.STORE_TBL_DDL, os.path.join(data_dir, "store_tbl"), n_buckets
     )
     bl = ShardedBloom.load(os.path.join(data_dir, "bloom"))
     calib_n = 8_000_000_000  # ~5s at 32 cores: long enough to dwarf task-scheduling overhead
@@ -153,12 +184,14 @@ def measure_breakdown(data_dir: str, cores: int, out: str) -> None:
     calib_sec = time.time() - t0
     # warm-up on the same key lattice as the measured stages
     bench_core.run_frontier_round(
-        spark, n_frontier // 4, "table:seen_b", "table:store_b", bl, space_unit=n_frontier
+        spark, n_frontier // 4, "table:seen_b", "table:store_b", bl, space_unit=n_frontier,
+        n_partitions=n_buckets,
     )
     stages = {}
     for stage in ("dedupe", "antijoin", "budget", "full"):
         r = bench_core.run_frontier_round(
-            spark, n_frontier, "table:seen_b", "table:store_b", bl, stage=stage
+            spark, n_frontier, "table:seen_b", "table:store_b", bl, stage=stage,
+            n_partitions=n_buckets,
         )
         stages[stage] = round(r.elapsed_sec, 3)
     payload = {"cores": cores, "n_frontier": n_frontier,

@@ -179,21 +179,35 @@ STORE_TBL_DDL = (
 )
 
 
-def write_bucketed(df: DataFrame, name: str, path: str, keys: list[str]) -> None:
+def buckets_for(n_rows: int, rows_per_bucket: int = 250_000) -> int:
+    """Data-proportional bucket count (power of two, >= N_BUCKETS).
+    Partition sizing must track data volume: per-task memory is fixed, so
+    a bucket count chosen at 16M rows quadruples each task's working set
+    at 64M.  ~250k rows/bucket keeps every hash build and window sort
+    comfortably in a task's memory share at any parallelism."""
+    want = max(N_BUCKETS, -(-n_rows // rows_per_bucket))
+    return 1 << (want - 1).bit_length()
+
+
+def write_bucketed(
+    df: DataFrame, name: str, path: str, keys: list[str], n_buckets: int = N_BUCKETS
+) -> None:
     (
-        df.repartition(N_BUCKETS, *keys)  # one file per bucket
+        df.repartition(n_buckets, *keys)  # one file per bucket
         .write.mode("overwrite")
-        .bucketBy(N_BUCKETS, *keys)
+        .bucketBy(n_buckets, *keys)
         .sortBy(*keys)
         .option("path", path)
         .saveAsTable(name)
     )
 
 
-def attach_bucketed(spark: SparkSession, name: str, ddl: str, path: str) -> None:
+def attach_bucketed(
+    spark: SparkSession, name: str, ddl: str, path: str, n_buckets: int = N_BUCKETS
+) -> None:
     """Register an existing bucketed table's layout in this session's
     catalog (metadata only — no data touched)."""
-    spark.sql(ddl.format(name=name, nb=N_BUCKETS, path=path))
+    spark.sql(ddl.format(name=name, nb=n_buckets, path=path))
 
 
 def _read_side(spark: SparkSession, path: str) -> DataFrame:
@@ -227,6 +241,7 @@ def run_frontier_round(
     salt_buckets: int = 16,
     space_unit: int | None = None,
     stage: str = "full",
+    n_partitions: int = N_BUCKETS,
 ) -> FrontierBenchResult:
     """``stage`` truncates the round for the scaling breakdown
     (bench_scaling --breakdown): "dedupe" stops after parse+dedupe,
@@ -267,7 +282,9 @@ def run_frontier_round(
     # rows: parse+dedupe+antijoin 17.9s -> 10.8s at local[16] (prefix
     # scaling efficiency 0.53 -> 0.83 vs local[4]); at 100 TB this is the
     # difference between shuffling the frontier once and twice per round.
-    cand = cand.repartition(N_BUCKETS, "url_canon")
+    # n_partitions must equal the seen/store tables' bucket count (the
+    # attach DDL) for the exchange-free co-partitioned joins below
+    cand = cand.repartition(n_partitions, "url_canon")
     cand = dedupe_first_occurrence(cand)
     _dbg("dedupe", cand)
 

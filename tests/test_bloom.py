@@ -179,3 +179,78 @@ def test_partitioned_shard_math_no_false_negatives(keys, n_shards):
         assert hit, k
     # shard routing is deterministic across calls
     assert np.array_equal(shard_of(ser, n_shards), shards)
+
+
+# -- saturation accounting (est_fpp / bloom_bits_for) -------------------------
+
+
+def test_insert_count_tracks_adds_and_merge():
+    a = ShardedBloom(n_bits=1 << 12, n_hashes=4, n_shards=4)
+    b = ShardedBloom(n_bits=1 << 12, n_hashes=4, n_shards=4)
+    a.add(pd.Series([f"a{i}" for i in range(100)]))
+    b.add(pd.Series([f"b{i}" for i in range(40)]))
+    a.or_merge(b)
+    assert a.n_inserted == 140
+
+
+def test_insert_count_survives_save_load(tmp_path):
+    bl = ShardedBloom(n_bits=1 << 12, n_hashes=4, n_shards=4)
+    bl.add(pd.Series([f"k{i}" for i in range(77)]))
+    bl.save(str(tmp_path / "b"))
+    got = ShardedBloom.load(str(tmp_path / "b"))
+    assert got.n_inserted == 77
+    assert got.est_fpp() == bl.est_fpp()
+
+
+def test_est_fpp_brackets_measured_rate():
+    bl = ShardedBloom(n_bits=1 << 17, n_hashes=7, n_shards=16)
+    bl.add(pd.Series([f"key-{i}" for i in range(10_000)]))
+    measured = bl.contains(pd.Series([f"other-{i}" for i in range(40_000)])).mean()
+    est = bl.est_fpp()
+    # analytic model within small-constant agreement of the measured rate
+    assert measured / 3 <= est <= max(3 * measured, 0.02), (est, measured)
+
+
+def test_est_fpp_saturates_to_one():
+    bl = ShardedBloom(n_bits=1 << 10, n_hashes=7, n_shards=8)
+    bl.add(pd.Series([f"k{i}" for i in range(5000)]))
+    assert bl.est_fpp() > 0.99
+    # and the filter really is useless now: ~every fresh key "hits"
+    assert bl.contains(pd.Series([f"z{i}" for i in range(2000)])).mean() > 0.9
+
+
+def test_distributed_build_carries_insert_count(spark):
+    keys = [f"url-{i}" for i in range(2000)]
+    df = spark.createDataFrame([(k,) for k in keys], ["k"]).repartition(6)
+    partials = build_partials(df, "k", 1 << 14, 5, 8).collect()
+    dist = ShardedBloom(1 << 14, 5, 8)
+    merge_partials_into(dist, partials)
+    assert dist.n_inserted == 2000
+
+
+def test_bloom_bits_for_sizing():
+    from grabspark.bloom import bloom_bits_for
+
+    assert bloom_bits_for(16_000_000) == 1 << 28
+    assert bloom_bits_for(64_000_000) == 1 << 30
+    assert bloom_bits_for(10) == 1 << 20  # floor
+    # sized filters stay useful: est fpp ~1% at the design load
+    from grabspark.bloom import est_bloom_fpp
+
+    assert est_bloom_fpp(64_000_000, bloom_bits_for(64_000_000), 7) < 0.02
+
+
+def test_partitioned_insert_count_and_rollback(spark, tmp_path):
+    from grabspark.bloom import PartitionedBloom
+
+    pb = PartitionedBloom(str(tmp_path / "pb"), n_bits=1 << 14, n_hashes=5, n_shards=8)
+    pb.create()
+    df1 = spark.createDataFrame([(f"k{i}",) for i in range(100)], ["k"])
+    v1 = pb.update(df1, "k")
+    assert pb.n_inserted == 100
+    df2 = spark.createDataFrame([(f"m{i}",) for i in range(50)], ["k"])
+    pb.update(df2, "k")
+    assert pb.n_inserted == 150
+    assert pb.est_fpp() > 0.0
+    pb.rollback(v1)
+    assert pb.n_inserted == 100

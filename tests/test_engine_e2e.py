@@ -124,6 +124,34 @@ def test_bloom_disabled_same_result(spark, crawl_setup):
     assert got == [tuple(t) for t in golden.trace]
 
 
+def test_bloom_saturation_bypass_same_result(spark, crawl_setup):
+    """A deliberately-undersized Bloom saturates once the first rounds'
+    seen keys are inserted; the saturation guard (BloomConfig.max_fpp)
+    must then BYPASS the probe — est_fpp is O(1) from the maintained
+    insertion count — while leaving the [REF-EXACT] trace untouched:
+    the prefilter is advisory, never semantic."""
+    spec, store, store_path, seeds, golden, base = crawl_setup
+    eng = run_engine(
+        spark,
+        store_path,
+        seeds,
+        base / "run_satbloom",
+        bloom=BloomConfig(enabled=True, n_bits=32, n_hashes=7, n_shards=2),
+    )
+    got = engine_trace_rows(eng)
+    assert got == [tuple(t) for t in golden.trace]
+    assert eng.prefilter_bypassed_rounds, "undersized filter must trip the bypass"
+    assert eng.bloom.est_fpp() > eng.cfg.bloom.max_fpp
+    # the bypass is surfaced as a round metric
+    m = eng.metrics_df()
+    n_bypassed = (
+        m.filter((F.col("scope") == "round") & (F.col("metric") == "bloom_prefilter_bypassed"))
+        .agg(F.sum("value"))
+        .first()[0]
+    )
+    assert int(n_bypassed or 0) == len(eng.prefilter_bypassed_rounds)
+
+
 def test_bloom_partitioned_same_result(spark, crawl_setup):
     """J2 partitioned mode (BloomConfig mode='partitioned'): per-shard
     files built/probed executor-side must leave the [REF-EXACT] trace
