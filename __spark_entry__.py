@@ -262,6 +262,9 @@ _BEYOND_GATE = (
     "image_curation",
     "sessionize_events",
     "chunk_documents",
+    "pagerank_hosts",
+    "phash_knn",
+    "oov_rate",
 )
 
 

@@ -73,8 +73,10 @@ HEADLINE = [
     "winnow_fingerprints",
     "event_window_agg",
     "sessionize_events",
+    "pagerank_hosts",
     "corpus_curation",
     "ngram_counts",
+    "oov_rate",
     "pii_scrub",
     "repetition_signals",
     "decontaminate",
@@ -88,6 +90,7 @@ HEADLINE = [
     "image_curation",
     "image_phash_near_dup",
     "image_caption_dedup",
+    "phash_knn",
 ]
 
 

@@ -14,9 +14,9 @@ surrogates) or rounded on both sides; LIMIT/top-k is only used with a
 total deterministic ordering.
 """
 
-from . import dedup, images, multimodal, relational, similarity, table_ops, textstats
+from . import crawlgraph, dedup, images, multimodal, relational, similarity, table_ops, textstats
 
-_MODULES = (relational, dedup, similarity, textstats, table_ops, multimodal, images)
+_MODULES = (relational, dedup, similarity, textstats, table_ops, multimodal, images, crawlgraph)
 
 
 def all_queries():

@@ -330,6 +330,75 @@ ORDER BY n DESC, bigram ASC LIMIT {_NGRAM_TOP}
 """
 
 
+# --- OOV rate: vocabulary coverage against the corpus top-k bigram vocab ----
+#
+# The companion statistic to ngram_counts: once a vocabulary (the top-100
+# bigram table, ties pinned) exists, the per-document out-of-vocabulary
+# occurrence rate is the coverage metric an LM-data pipeline uses to
+# detect domain drift / garbage docs.  Basis points (x10000, floor-div)
+# keep the output float-free.
+#
+# 100 TB shape: the vocab is top-k-bounded (100 rows) -> BROADCAST to the
+# gram stream; the per-doc aggregate is one partial-agg groupBy.  The
+# expensive side (exploded grams) is never shuffled for the join, only
+# for the final doc_id aggregate.
+
+
+def oov_rate(spark: SparkSession, sf: str) -> DataFrame:
+    d = T(spark, sf, "documents").select("doc_id", F.expr(_TOKENS).alias("toks"))
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1), "
+                "i -> concat_ws(' ', toks[i-1], toks[i])) "
+                "ELSE CAST(array() AS ARRAY<STRING>) END"
+            )
+        ).alias("gram"),
+    )
+    vocab = ngram_counts(spark, sf).select(
+        F.col("bigram").alias("gram"), F.lit(1).alias("in_v")
+    )
+    j = grams.join(F.broadcast(vocab), "gram", "left")
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("in_v").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_oov",
+            F.expr("(n_oov * 10000) DIV n_grams").alias("oov_bp"),
+        )
+    )
+
+
+_OOV_SQL = f"""
+WITH d AS (SELECT doc_id, {_TOKENS_DUCK} AS toks FROM documents),
+bg AS (
+  SELECT doc_id, concat_ws(' ', toks[i], toks[i+1]) AS gram
+  FROM d, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS i) g
+),
+vocab AS (
+  SELECT gram FROM (
+    SELECT gram, count(*) AS n FROM bg GROUP BY gram
+    ORDER BY n DESC, gram ASC LIMIT {_NGRAM_TOP}
+  )
+),
+j AS (
+  SELECT bg.doc_id, CASE WHEN v.gram IS NULL THEN 1 ELSE 0 END AS oov
+  FROM bg LEFT JOIN vocab v USING (gram)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(oov) AS BIGINT) AS n_oov,
+       CAST((sum(oov) * 10000) // count(*) AS BIGINT) AS oov_bp
+FROM j GROUP BY doc_id
+"""
+
+
 # --- PII scrub: redaction pass over synthesized contact records -------------
 #
 # The fixtures' document text is PII-free word salad, so the graded input
@@ -573,6 +642,7 @@ QUERIES = {
     "winnow_fingerprints": winnow_fingerprints,
     "corpus_curation": corpus_curation,
     "ngram_counts": ngram_counts,
+    "oov_rate": oov_rate,
     "pii_scrub": pii_scrub,
     "repetition_signals": repetition_signals,
     "stratified_sample": stratified_sample,
@@ -588,6 +658,7 @@ ORACLES = {
     "winnow_fingerprints": _WINNOW_SQL,
     "corpus_curation": _curation_sql(),
     "ngram_counts": _NGRAM_SQL,
+    "oov_rate": _OOV_SQL,
     "pii_scrub": _PII_SQL,
     "repetition_signals": _REP_SQL,
     "stratified_sample": _SAMPLE_SQL,

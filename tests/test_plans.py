@@ -425,3 +425,39 @@ def test_chunk_documents_is_pure_map(spark):
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 0
     m = re.search(r"ReadSchema: struct<([^>]*)>", p)
     assert sorted(c.split(":")[0] for c in m.group(1).split(",")) == ["doc_id", "text"]
+
+
+def test_pagerank_iteration_joins_never_cartesian(spark):
+    """PageRank's 100 TB contract: each iteration joins the edge table
+    with the NODE-sized rank table (broadcast at this scale) and
+    re-aggregates with a partial agg — no cartesian products anywhere in
+    the unrolled 3-iteration plan."""
+    from grabspark.ops.crawlgraph import pagerank_hosts
+
+    p = plan(pagerank_hosts(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_phash_knn_banded_join_and_rank_limit(spark):
+    """phash_knn's scale contract: candidates come from the banded
+    equi-join (never all-pairs), and the per-image top-k window pushes a
+    partial WindowGroupLimit below the exchange so map output is bounded
+    at k rows per image."""
+    from grabspark.ops.crawlgraph import phash_knn
+
+    p = plan(phash_knn(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "WindowGroupLimit" in p
+
+
+def test_oov_rate_vocab_is_broadcast(spark):
+    """The top-k-bounded vocab must broadcast to the exploded gram
+    stream: the expensive side shuffles only for the final per-doc
+    aggregate, never to co-partition with a 100-row table."""
+    from grabspark.ops.textstats import oov_rate
+
+    p = plan(oov_rate(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
