@@ -265,6 +265,7 @@ _BEYOND_GATE = (
     "pagerank_hosts",
     "phash_knn",
     "oov_rate",
+    "warc_parse",
 )
 
 

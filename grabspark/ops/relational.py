@@ -710,6 +710,112 @@ FROM z, LATERAL (SELECT unnest(generate_series(1, len(locs))) AS i) g
 """
 
 
+# --- WARC-style archive parsing ----------------------------------------------
+#
+# The crawl-archive source format: a page store on disk is a set of
+# per-host archive blobs, each a concatenation of WARC-shaped records
+# (version line, typed headers, blank line, payload).  The operator is
+# the scan-side parser that turns archive blobs back into one typed row
+# per record — the inverse of the export sink, and the standard ingest
+# path for crawl corpora.  Bodies are synthesized deterministically from
+# the customer table (same device as sitemap_parse/pii_scrub); the parse
+# direction uses a DIFFERENT mechanism (regexp field extraction + zip +
+# posexplode) than the construction (ordered string_agg of concats).
+#
+# 100 TB shape: pure map over the blob scan — regexp_extract_all + one
+# posexplode, no shuffle after the (construction-only) per-host agg; at
+# scale the blobs arrive pre-materialized and the parse is shuffle-free.
+# All field patterns are \S-based so Java regex (Spark) and RE2 (DuckDB)
+# agree without newline-escape games.
+
+_WARC_REC_SPARK = (
+    "concat('WARC/1.0', chr(10), 'WARC-Type: response', chr(10), "
+    "'WARC-Target-URI: http://n', CAST(c_nationkey AS STRING), '.test/c', "
+    "CAST(c_custkey AS STRING), chr(10), "
+    "'WARC-Date: 2026-03-', lpad(CAST(c_custkey % 28 + 1 AS STRING), 2, '0'), "
+    "'T00:00:00Z', chr(10), "
+    "'Content-Length: ', CAST(length(concat('page c', CAST(c_custkey AS STRING), "
+    "' of n', CAST(c_nationkey AS STRING), '.test')) AS STRING), chr(10), "
+    "'WARC-Payload-Digest: md5:', md5(concat('page c', CAST(c_custkey AS STRING), "
+    "' of n', CAST(c_nationkey AS STRING), '.test')), chr(10), chr(10), "
+    "'page c', CAST(c_custkey AS STRING), ' of n', CAST(c_nationkey AS STRING), "
+    "'.test', chr(10), chr(10))"
+)
+
+_WARC_REC_DUCK = (
+    "concat('WARC/1.0', chr(10), 'WARC-Type: response', chr(10), "
+    "'WARC-Target-URI: http://n', CAST(c_nationkey AS VARCHAR), '.test/c', "
+    "CAST(c_custkey AS VARCHAR), chr(10), "
+    "'WARC-Date: 2026-03-', lpad(CAST(c_custkey % 28 + 1 AS VARCHAR), 2, '0'), "
+    "'T00:00:00Z', chr(10), "
+    "'Content-Length: ', CAST(length(concat('page c', CAST(c_custkey AS VARCHAR), "
+    "' of n', CAST(c_nationkey AS VARCHAR), '.test')) AS VARCHAR), chr(10), "
+    "'WARC-Payload-Digest: md5:', md5(concat('page c', CAST(c_custkey AS VARCHAR), "
+    "' of n', CAST(c_nationkey AS VARCHAR), '.test')), chr(10), chr(10), "
+    "'page c', CAST(c_custkey AS VARCHAR), ' of n', CAST(c_nationkey AS VARCHAR), "
+    "'.test', chr(10), chr(10))"
+)
+
+
+def warc_parse(spark: SparkSession, sf: str) -> DataFrame:
+    c = T(spark, sf, "customer").select(
+        F.concat(F.lit("n"), F.col("c_nationkey").cast("string"), F.lit(".test")).alias(
+            "host"
+        ),
+        "c_custkey",
+        F.expr(_WARC_REC_SPARK).alias("rec"),
+    )
+    blobs = c.groupBy("host").agg(
+        F.expr(
+            "concat_ws('', transform(array_sort(collect_list(struct(c_custkey, rec))), "
+            "s -> s.rec))"
+        ).alias("body")
+    )
+    z = blobs.select(
+        "host",
+        F.expr(r"regexp_extract_all(body, 'WARC-Target-URI: (\\S+)', 1)").alias("uris"),
+        F.expr(r"regexp_extract_all(body, 'WARC-Date: (\\S+)', 1)").alias("dates"),
+        F.expr(r"regexp_extract_all(body, 'Content-Length: ([0-9]+)', 1)").alias("lens"),
+        F.expr(r"regexp_extract_all(body, 'WARC-Payload-Digest: md5:(\\S+)', 1)").alias(
+            "digests"
+        ),
+    )
+    return z.select(
+        "host", F.posexplode(F.arrays_zip("uris", "dates", "lens", "digests")).alias("pos", "s")
+    ).select(
+        "host",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("s.uris").alias("uri"),
+        F.col("s.dates").alias("warc_date"),
+        F.col("s.lens").cast("int").alias("content_length"),
+        F.col("s.digests").alias("payload_md5"),
+    )
+
+
+_WARC_SQL = rf"""
+WITH rec AS (
+  SELECT concat('n', CAST(c_nationkey AS VARCHAR), '.test') AS host, c_custkey,
+         {_WARC_REC_DUCK} AS rec
+  FROM customer
+),
+blobs AS (
+  SELECT host, string_agg(rec, '' ORDER BY c_custkey) AS body
+  FROM rec GROUP BY host
+),
+z AS (
+  SELECT host,
+         regexp_extract_all(body, 'WARC-Target-URI: (\S+)', 1) AS uris,
+         regexp_extract_all(body, 'WARC-Date: (\S+)', 1) AS dates,
+         regexp_extract_all(body, 'Content-Length: ([0-9]+)', 1) AS lens,
+         regexp_extract_all(body, 'WARC-Payload-Digest: md5:(\S+)', 1) AS digests
+  FROM blobs
+)
+SELECT host, CAST(i - 1 AS INT) AS pos, uris[i] AS uri, dates[i] AS warc_date,
+       CAST(lens[i] AS INT) AS content_length, digests[i] AS payload_md5
+FROM z, LATERAL (SELECT unnest(generate_series(1, len(uris))) AS i) g
+"""
+
+
 # --- sessionization ----------------------------------------------------------
 #
 # Gap-based sessionization of the events stream (the log-processing op a
@@ -805,6 +911,7 @@ QUERIES = {
     "stream_seed_ingest": stream_seed_ingest,
     "robots_txt_parse": robots_txt_parse,
     "sitemap_parse": sitemap_parse,
+    "warc_parse": warc_parse,
     "same_host_filter": same_host_filter,
     "link_extract_explode": link_extract_explode,
     "metrics_rollup": metrics_rollup,
@@ -828,6 +935,7 @@ ORACLES = {
     "stream_seed_ingest": _SEED_INGEST_SQL,
     "robots_txt_parse": _ROBOTS_PARSE_SQL,
     "sitemap_parse": _SITEMAP_SQL,
+    "warc_parse": _WARC_SQL,
     "same_host_filter": _SAMEHOST_SQL,
     "link_extract_explode": _EXTRACT_SQL,
     "metrics_rollup": _METRICS_SQL,

@@ -461,3 +461,17 @@ def test_oov_rate_vocab_is_broadcast(spark):
     p = plan(oov_rate(spark, SF))
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_warc_parse_is_single_exchange_map_parse(spark):
+    """WARC parsing's scale contract: the parse direction (regexp field
+    extraction + zip + posexplode) is a pure map — the plan's only
+    exchange belongs to the per-host blob CONSTRUCTION agg, which at
+    scale is replaced by reading pre-materialized archives."""
+    import re
+
+    from grabspark.ops.relational import warc_parse
+
+    p = plan(warc_parse(spark, SF))
+    assert "CartesianProduct" not in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
