@@ -182,12 +182,15 @@ def main() -> None:
 
     # image-validation throughput (the graft's image axis): the north
     # rule's per-row invariant (decoded-pixel allclose/PSNR + phash) as
-    # a rate.  Store generation is untimed; one warm-up, then best-of-2.
+    # a rate.  Store generation is untimed; one warm-up, then best-of-3
+    # (the Python-worker-bound kernel sees the full brunt of hypervisor
+    # steal — single-core numpy swings 2x within seconds on this box —
+    # so it gets one more rep than the JVM-side rounds).
     img_path = os.path.join(base, "img_store")
     bench_core.synth_images_parquet(spark, IMAGES_N, img_path)
     bench_core.run_image_round(spark, img_path)
     ir = max(
-        (bench_core.run_image_round(spark, img_path) for _ in range(2)),
+        (bench_core.run_image_round(spark, img_path) for _ in range(3)),
         key=lambda r: r.images_per_sec,
     )
     assert ir.n_pixels_ok == ir.n_images and ir.n_phash_ok == ir.n_images, (
