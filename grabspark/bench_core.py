@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import udfs
-from .bloom import ShardedBloom, build_partials, merge_partials_into
+from .bloom import ShardedBloom, build_partials, merge_partials_into, reduce_partials
 from .extract import dedupe_first_occurrence
 
 KEYSPACE = 10_000_000_000  # 10^10 addressable URL ids
@@ -223,8 +223,11 @@ def build_seen_bloom(
     seen = _read_side(spark, seen_path)
     bl = ShardedBloom(n_bits, n_hashes, n_shards)
     key = F.concat_ws("\x1f", F.col("seed_idx").cast("string"), F.col("url_canon"))
-    partials = build_partials(
-        seen.withColumn("_bk", key), "_bk", n_bits, n_hashes, n_shards
+    # executor-side per-shard OR-merge first: the driver then collects
+    # exactly n_bits/8 bytes, not n_partitions copies of the filter
+    # (64M keys x 256 partitions of raw partials = ~20 GB = maxResultSize)
+    partials = reduce_partials(
+        build_partials(seen.withColumn("_bk", key), "_bk", n_bits, n_hashes, n_shards)
     ).collect()
     merge_partials_into(bl, partials)
     return bl

@@ -224,6 +224,36 @@ def merge_partials_into(bloom: ShardedBloom, partial_rows: list) -> None:
         bloom.n_inserted += int(getattr(row, "n_keys", 0) or 0)
 
 
+def reduce_partials(partials_df):
+    """Executor-side OR-merge of build_partials output: one row per
+    shard, so a driver collect receives exactly n_bits/8 bytes TOTAL
+    regardless of how many input partitions built partials.  Without
+    this, collecting raw partials ships (n_partitions x n_bits/8) bytes
+    to the driver — at 64M keys x 256 partitions that is ~20 GB and
+    trips spark.driver.maxResultSize.  Use for large one-shot builds
+    (bench prepare); per-round engine updates keep the direct collect
+    (their new-key partials are small and the extra shuffle would sit on
+    the measured path)."""
+    import pandas as pd
+
+    def _or_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        for b in pdf["bits"]:
+            arr = np.frombuffer(b, dtype=np.uint8)
+            acc = arr.copy() if acc is None else np.bitwise_or(acc, arr, out=acc)
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["shard"].iloc[0])],
+                "bits": [acc.tobytes()],
+                "n_keys": [int(pdf["n_keys"].sum())],
+            }
+        )
+
+    return partials_df.groupBy("shard").applyInPandas(
+        _or_group, schema="shard int, bits binary, n_keys long"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Partitioned mode — the 10^10-key scale path (SURVEY.md §2.7 J2;
 # BloomConfig.mode == "partitioned")

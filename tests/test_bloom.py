@@ -254,3 +254,22 @@ def test_partitioned_insert_count_and_rollback(spark, tmp_path):
     assert pb.est_fpp() > 0.0
     pb.rollback(v1)
     assert pb.n_inserted == 100
+
+
+def test_reduce_partials_matches_direct_merge(spark):
+    """Executor-side per-shard OR-merge must produce the identical filter
+    as collecting raw partials: same bitmaps, same key count."""
+    from grabspark.bloom import reduce_partials
+
+    df = spark.createDataFrame([(f"k{i}",) for i in range(500)], "k string").repartition(7)
+    raw = build_partials(df, "k", 1 << 14, 5, 8)
+    direct = ShardedBloom(1 << 14, 5, 8)
+    merge_partials_into(direct, raw.collect())
+    reduced = ShardedBloom(1 << 14, 5, 8)
+    rows = reduce_partials(raw).collect()
+    assert len(rows) == 8  # one row per shard
+    merge_partials_into(reduced, rows)
+    assert reduced.n_inserted == direct.n_inserted
+    assert all(
+        (a == b).all() for a, b in zip(reduced.shards, direct.shards)
+    )
