@@ -266,6 +266,7 @@ _BEYOND_GATE = (
     "phash_knn",
     "oov_rate",
     "warc_parse",
+    "recrawl_priority",
 )
 
 

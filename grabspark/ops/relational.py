@@ -710,6 +710,82 @@ FROM z, LATERAL (SELECT unnest(generate_series(1, len(locs))) AS i) g
 """
 
 
+# --- re-crawl prioritization --------------------------------------------------
+#
+# The scheduling policy a continuous crawl runs over its fetch log: hosts
+# are re-visited in order of (staleness x observed change rate).  The
+# events fixture stands in for the fetch log (host = hashed user_id,
+# event_type diversity = change proxy).  All integer arithmetic; the
+# anchor-diff micros device is shared with sessionize_events so the time
+# math is TZ-independent and engine-exact.
+#
+# 100 TB shape: one partial-agg groupBy(host) over the log scan, a
+# broadcast of the single global-max row, and a rank whose Partial
+# WindowGroupLimit caps map output — the log itself is never shuffled
+# twice and never sorted globally.
+
+_RECRAWL_TOP = 100
+
+
+def recrawl_priority(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "events").select(
+        F.expr("concat('h', CAST(user_id % 200 AS STRING))").alias("host"),
+        "event_type",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
+        ).alias("us"),
+    )
+    per = e.groupBy("host").agg(
+        F.count("*").alias("n_fetches"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.max("us").alias("last_us"),
+    )
+    gmax = e.agg(F.max("us").alias("g_us"))
+    scored = (
+        per.crossJoin(F.broadcast(gmax))
+        .withColumn("age_min", F.expr("(g_us - last_us) DIV 60000000"))
+        .withColumn("priority", F.expr("age_min * n_types"))
+    )
+    w = Window.orderBy(F.desc("priority"), F.asc("host"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _RECRAWL_TOP)
+        .select(
+            "host", "n_fetches", "n_types", "age_min", "priority",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+_RECRAWL_SQL = f"""
+WITH e AS (
+  SELECT concat('h', CAST(user_id % 200 AS VARCHAR)) AS host, event_type,
+         epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01') AS us
+  FROM events
+),
+per AS (
+  SELECT host, count(*) AS n_fetches, count(DISTINCT event_type) AS n_types,
+         max(us) AS last_us
+  FROM e GROUP BY host
+),
+scored AS (
+  SELECT host, n_fetches, n_types,
+         (g.g_us - last_us) // 60000000 AS age_min,
+         ((g.g_us - last_us) // 60000000) * n_types AS priority
+  FROM per CROSS JOIN (SELECT max(us) AS g_us FROM e) g
+)
+SELECT host, CAST(n_fetches AS BIGINT) AS n_fetches,
+       CAST(n_types AS BIGINT) AS n_types,
+       CAST(age_min AS BIGINT) AS age_min,
+       CAST(priority AS BIGINT) AS priority,
+       CAST(rk AS INT) AS rk
+FROM (
+  SELECT *, row_number() OVER (ORDER BY priority DESC, host ASC) AS rk
+  FROM scored
+) WHERE rk <= {_RECRAWL_TOP}
+"""
+
+
 # --- WARC-style archive parsing ----------------------------------------------
 #
 # The crawl-archive source format: a page store on disk is a set of
@@ -912,6 +988,7 @@ QUERIES = {
     "robots_txt_parse": robots_txt_parse,
     "sitemap_parse": sitemap_parse,
     "warc_parse": warc_parse,
+    "recrawl_priority": recrawl_priority,
     "same_host_filter": same_host_filter,
     "link_extract_explode": link_extract_explode,
     "metrics_rollup": metrics_rollup,
@@ -936,6 +1013,7 @@ ORACLES = {
     "robots_txt_parse": _ROBOTS_PARSE_SQL,
     "sitemap_parse": _SITEMAP_SQL,
     "warc_parse": _WARC_SQL,
+    "recrawl_priority": _RECRAWL_SQL,
     "same_host_filter": _SAMEHOST_SQL,
     "link_extract_explode": _EXTRACT_SQL,
     "metrics_rollup": _METRICS_SQL,

@@ -475,3 +475,19 @@ def test_warc_parse_is_single_exchange_map_parse(spark):
     p = plan(warc_parse(spark, SF))
     assert "CartesianProduct" not in p
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+
+
+def test_recrawl_priority_broadcast_scalar_and_rank_limit(spark):
+    """Re-crawl scheduling's scale contract: the global-max row reaches
+    the per-host aggregate via broadcast (never a shuffle to co-partition
+    with one row), and the priority rank is a bounded top-k — Catalyst
+    rewrites the row_number()+filter into TakeOrderedAndProject (map-side
+    partial top-100 per partition, single merge) or at minimum pushes a
+    WindowGroupLimit; either way the per-host table is never globally
+    sorted."""
+    from grabspark.ops.relational import recrawl_priority
+
+    p = plan(recrawl_priority(spark, SF))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p or "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p
