@@ -267,6 +267,7 @@ _BEYOND_GATE = (
     "oov_rate",
     "warc_parse",
     "recrawl_priority",
+    "url_template_mining",
 )
 
 

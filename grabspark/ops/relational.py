@@ -786,6 +786,101 @@ FROM (
 """
 
 
+# --- URL-template mining / crawl-trap detection -------------------------------
+#
+# Production crawlers mine URL templates (digit runs collapsed to a
+# placeholder) from the frontier to find infinite URL spaces — calendar
+# pages, session-id tags, pagination — and cap per-template budget before
+# the frontier drowns in them (the reference has no defense: it enqueues
+# every same-host link, main_functions.go:62-66).  Synthetic frontier from
+# the orders fixture: a calendar trap (/cal/Y/M/D — unbounded distinct
+# URLs, one template), a paginated tag trap, and legit article/about pages.
+#
+# 100 TB shape: scan -> JVM regexp projection -> two-phase distinct agg on
+# (host, template) -> top-k via TakeOrderedAndProject (map-side partial
+# top-100, no global sort).  The frontier is never joined or collected;
+# everything after the scan is codegen string/integer ops.
+
+_TRAP_TOP = 100
+_TRAP_MIN_DISTINCT = 20  # templates below this are not traps at any scale
+
+
+def url_template_mining(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders")
+    urls = o.select(
+        F.expr("concat('h', CAST(o_custkey % 20 AS STRING))").alias("host"),
+        F.expr(
+            "CASE WHEN o_orderkey % 5 IN (0, 1) THEN "
+            "  concat('/cal/2024/', CAST(o_orderkey % 12 + 1 AS STRING), '/', CAST(o_orderkey % 28 + 1 AS STRING)) "
+            "WHEN o_orderkey % 5 = 2 THEN concat('/article/', CAST(o_orderkey AS STRING)) "
+            "WHEN o_orderkey % 5 = 3 THEN '/about' "
+            "ELSE concat('/tag/', CAST(o_orderkey % 7 AS STRING), '/page/', CAST(o_orderkey % 97 AS STRING)) END"
+        ).alias("path"),
+    )
+    tpl = urls.select(
+        "host",
+        "path",
+        F.regexp_replace("path", "[0-9]+", "N").alias("template"),
+    )
+    per = tpl.groupBy("host", "template").agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct("path").alias("n_distinct"),
+    )
+    scored = per.select(
+        "host",
+        "template",
+        "n_urls",
+        "n_distinct",
+        (F.size(F.split("template", "/")) - F.lit(1)).cast("int").alias("depth"),
+        (
+            (F.col("n_distinct") >= _TRAP_MIN_DISTINCT)
+            & F.col("template").contains("N")
+        ).alias("is_trap"),
+    )
+    w = Window.orderBy(
+        F.desc("n_distinct"), F.desc("n_urls"), F.asc("host"), F.asc("template")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= _TRAP_TOP)
+    )
+
+
+_TRAP_SQL = f"""
+WITH urls AS (
+  SELECT concat('h', CAST(o_custkey % 20 AS VARCHAR)) AS host,
+         CASE WHEN o_orderkey % 5 IN (0, 1) THEN
+                concat('/cal/2024/', CAST(o_orderkey % 12 + 1 AS VARCHAR), '/', CAST(o_orderkey % 28 + 1 AS VARCHAR))
+              WHEN o_orderkey % 5 = 2 THEN concat('/article/', CAST(o_orderkey AS VARCHAR))
+              WHEN o_orderkey % 5 = 3 THEN '/about'
+              ELSE concat('/tag/', CAST(o_orderkey % 7 AS VARCHAR), '/page/', CAST(o_orderkey % 97 AS VARCHAR)) END AS path
+  FROM orders
+),
+tpl AS (
+  SELECT host, path, regexp_replace(path, '[0-9]+', 'N', 'g') AS template
+  FROM urls
+),
+per AS (
+  SELECT host, template,
+         CAST(count(*) AS BIGINT) AS n_urls,
+         CAST(count(DISTINCT path) AS BIGINT) AS n_distinct
+  FROM tpl GROUP BY host, template
+),
+scored AS (
+  SELECT host, template, n_urls, n_distinct,
+         CAST(len(str_split(template, '/')) - 1 AS INT) AS depth,
+         (n_distinct >= {_TRAP_MIN_DISTINCT} AND contains(template, 'N')) AS is_trap
+  FROM per
+)
+SELECT host, template, n_urls, n_distinct, depth, is_trap, CAST(rk AS INT) AS rk
+FROM (
+  SELECT *, row_number() OVER (
+    ORDER BY n_distinct DESC, n_urls DESC, host ASC, template ASC) AS rk
+  FROM scored
+) WHERE rk <= {_TRAP_TOP}
+"""
+
+
 # --- WARC-style archive parsing ----------------------------------------------
 #
 # The crawl-archive source format: a page store on disk is a set of
@@ -989,6 +1084,7 @@ QUERIES = {
     "sitemap_parse": sitemap_parse,
     "warc_parse": warc_parse,
     "recrawl_priority": recrawl_priority,
+    "url_template_mining": url_template_mining,
     "same_host_filter": same_host_filter,
     "link_extract_explode": link_extract_explode,
     "metrics_rollup": metrics_rollup,
@@ -1014,6 +1110,7 @@ ORACLES = {
     "sitemap_parse": _SITEMAP_SQL,
     "warc_parse": _WARC_SQL,
     "recrawl_priority": _RECRAWL_SQL,
+    "url_template_mining": _TRAP_SQL,
     "same_host_filter": _SAMEHOST_SQL,
     "link_extract_explode": _EXTRACT_SQL,
     "metrics_rollup": _METRICS_SQL,

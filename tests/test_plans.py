@@ -491,3 +491,15 @@ def test_recrawl_priority_broadcast_scalar_and_rank_limit(spark):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "TakeOrderedAndProject" in p or "WindowGroupLimit" in p
     assert "CartesianProduct" not in p
+
+
+def test_url_template_mining_no_join_bounded_topk(spark):
+    """Trap mining's scale contract: the frontier is never joined (pure
+    scan -> project -> distinct agg), and the rank is a bounded top-k
+    (TakeOrderedAndProject / WindowGroupLimit), never a global sort of
+    all templates."""
+    from grabspark.ops.relational import url_template_mining
+
+    p = plan(url_template_mining(spark, SF))
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p or "WindowGroupLimit" in p
