@@ -268,6 +268,7 @@ _BEYOND_GATE = (
     "warc_parse",
     "recrawl_priority",
     "url_template_mining",
+    "frontier_snapshot_diff",
 )
 
 

@@ -881,6 +881,89 @@ FROM (
 """
 
 
+# --- snapshot diff (incremental re-crawl) --------------------------------------
+#
+# A continuous crawl compares consecutive store snapshots to find what
+# changed — the added/removed/changed page sets drive re-crawl priority
+# and downstream incremental processing (the reference truncates and
+# refetches everything, main_functions.go:28-31; a 100 TB store cannot).
+# Two deterministic snapshot versions are synthesized from orders: v2
+# removes 10% of v1's pages, adds a disjoint 10%, and rewrites the
+# content signature of ~1/7 of the survivors.
+#
+# 100 TB shape: NO join — the two snapshots union with a side tag and one
+# groupBy(url) computes both sides' signatures via conditional aggregates
+# (map-side combine halves the shuffle), then a host-level rollup counts
+# statuses.  Diffing via union+agg instead of full-outer-join means one
+# shuffle of the combined snapshot instead of two sorted sides.
+
+def frontier_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    o = T(spark, sf, "orders").select(
+        "o_orderkey",
+        F.expr("concat('h', CAST(o_custkey % 20 AS STRING))").alias("host"),
+        F.expr(
+            "concat('http://h', CAST(o_custkey % 20 AS STRING), '.test/p', CAST(o_orderkey AS STRING))"
+        ).alias("url"),
+        F.expr("o_orderkey * 31 + o_custkey").alias("sig"),
+    )
+    v1 = o.filter(F.expr("o_orderkey % 10 <> 9")).select(
+        "host", "url", F.col("sig").alias("s"), F.lit(1).alias("side")
+    )
+    v2 = o.filter(F.expr("o_orderkey % 10 <> 0")).select(
+        "host",
+        "url",
+        F.expr("CASE WHEN o_orderkey % 7 = 3 THEN sig + 1 ELSE sig END").alias("s"),
+        F.lit(2).alias("side"),
+    )
+    both = v1.unionByName(v2)
+    per_url = both.groupBy("host", "url").agg(
+        F.max(F.expr("CASE WHEN side = 1 THEN s END")).alias("s1"),
+        F.max(F.expr("CASE WHEN side = 2 THEN s END")).alias("s2"),
+    )
+    status = per_url.withColumn(
+        "status",
+        F.expr(
+            "CASE WHEN s1 IS NULL THEN 'added' WHEN s2 IS NULL THEN 'removed' "
+            "WHEN s1 <> s2 THEN 'changed' ELSE 'unchanged' END"
+        ),
+    )
+    return (
+        status.groupBy("host", "status")
+        .agg(F.count("*").alias("n_pages"))
+        .select("host", "status", "n_pages")
+    )
+
+
+_SNAPDIFF_SQL = """
+WITH o AS (
+  SELECT o_orderkey,
+         concat('h', CAST(o_custkey % 20 AS VARCHAR)) AS host,
+         concat('http://h', CAST(o_custkey % 20 AS VARCHAR), '.test/p', CAST(o_orderkey AS VARCHAR)) AS url,
+         o_orderkey * 31 + o_custkey AS sig
+  FROM orders
+),
+both_sides AS (
+  SELECT host, url, sig AS s, 1 AS side FROM o WHERE o_orderkey % 10 <> 9
+  UNION ALL
+  SELECT host, url,
+         CASE WHEN o_orderkey % 7 = 3 THEN sig + 1 ELSE sig END AS s, 2 AS side
+  FROM o WHERE o_orderkey % 10 <> 0
+),
+per_url AS (
+  SELECT host, url,
+         max(CASE WHEN side = 1 THEN s END) AS s1,
+         max(CASE WHEN side = 2 THEN s END) AS s2
+  FROM both_sides GROUP BY host, url
+)
+SELECT host,
+       CASE WHEN s1 IS NULL THEN 'added' WHEN s2 IS NULL THEN 'removed'
+            WHEN s1 <> s2 THEN 'changed' ELSE 'unchanged' END AS status,
+       CAST(count(*) AS BIGINT) AS n_pages
+FROM per_url
+GROUP BY host, status
+"""
+
+
 # --- WARC-style archive parsing ----------------------------------------------
 #
 # The crawl-archive source format: a page store on disk is a set of
@@ -1085,6 +1168,7 @@ QUERIES = {
     "warc_parse": warc_parse,
     "recrawl_priority": recrawl_priority,
     "url_template_mining": url_template_mining,
+    "frontier_snapshot_diff": frontier_snapshot_diff,
     "same_host_filter": same_host_filter,
     "link_extract_explode": link_extract_explode,
     "metrics_rollup": metrics_rollup,
@@ -1111,6 +1195,7 @@ ORACLES = {
     "warc_parse": _WARC_SQL,
     "recrawl_priority": _RECRAWL_SQL,
     "url_template_mining": _TRAP_SQL,
+    "frontier_snapshot_diff": _SNAPDIFF_SQL,
     "same_host_filter": _SAMEHOST_SQL,
     "link_extract_explode": _EXTRACT_SQL,
     "metrics_rollup": _METRICS_SQL,

@@ -503,3 +503,16 @@ def test_url_template_mining_no_join_bounded_topk(spark):
     p = plan(url_template_mining(spark, SF))
     assert "Join" not in p and "CartesianProduct" not in p
     assert "TakeOrderedAndProject" in p or "WindowGroupLimit" in p
+
+
+def test_frontier_snapshot_diff_is_joinless_union_agg(spark):
+    """Snapshot diff's scale contract: the two snapshots are diffed by
+    union + conditional aggregate (ONE shuffle of the combined snapshot,
+    map-side combine), never a full outer join (two sorted sides)."""
+    import re
+
+    from grabspark.ops.relational import frontier_snapshot_diff
+
+    p = plan(frontier_snapshot_diff(spark, SF))
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2
