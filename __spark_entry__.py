@@ -269,6 +269,10 @@ _BEYOND_GATE = (
     "recrawl_priority",
     "url_template_mining",
     "frontier_snapshot_diff",
+    "mixture_weights",
+    "politeness_schedule",
+    "cluster_representatives",
+    "caption_alignment",
 )
 
 

@@ -817,6 +817,69 @@ FROM comp
 
 
 # ---------------------------------------------------------------------------
+# Cluster representatives (round 3): the KEEP side of fuzzy dedup.  Pair
+# queries emit edges, components groups them — this picks the one
+# document each cluster contributes to the training set.  Public
+# pipelines keep the "best" member (longest / highest-quality); rule
+# here: most whitespace tokens, tie -> smallest doc_id, encoded as a
+# fixed-width string key so Spark's min_by and DuckDB's arg_min pick the
+# identical winner (same device as first_occurrence_dedup).
+_KEEP_KEY_SPARK = (
+    "concat(lpad(CAST(999999999999 - nt AS STRING), 12, '0'), "
+    "lpad(CAST(doc_id AS STRING), 12, '0'))"
+)
+_KEEP_KEY_DUCK = (
+    "lpad(CAST(999999999999 - nt AS VARCHAR), 12, '0') || "
+    "lpad(CAST(doc_id AS VARCHAR), 12, '0')"
+)
+
+
+def cluster_representatives(spark: SparkSession, sf: str) -> DataFrame:
+    """(component, csize, kept_doc, kept_tokens, n_dropped): per near-dup
+    cluster, the member that survives dedup (max tokens, tie min doc_id).
+
+    100 TB shape: components are computed by the O(log n) star
+    contraction (cluster membership is a tiny fraction of the corpus);
+    the token-length side is a pruned 2-column scan joined on doc_id
+    (cluster-sized, so AQE broadcasts it against the corpus or vice
+    versa); the argmax is ONE partial-agg groupBy on component — no
+    window, no sort of the corpus.
+    """
+    comps = dedup_components(spark, sf).select("doc_id", "component", "csize")
+    toklen = T(spark, sf, "documents").select(
+        "doc_id", F.expr(f"size({_TOKENS})").alias("nt")
+    )
+    j = comps.join(toklen, "doc_id")
+    key = F.expr(_KEEP_KEY_SPARK)
+    return (
+        j.groupBy("component")
+        .agg(
+            F.max("csize").alias("csize"),
+            F.min_by(F.col("doc_id"), key).alias("kept_doc"),
+            F.min_by(F.col("nt"), key).alias("kept_tokens"),
+            (F.count("*") - 1).alias("n_dropped"),
+        )
+        .select("component", "csize", "kept_doc", "kept_tokens", "n_dropped")
+    )
+
+
+_REPS_SQL = f"""
+WITH comp AS ({_COMPONENTS_SQL}),
+j AS (
+  SELECT c.doc_id, c.component, c.csize, len({_TOKENS_DUCK}) AS nt
+  FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+)
+SELECT component,
+       CAST(max(csize) AS BIGINT) AS csize,
+       arg_min(doc_id, {_KEEP_KEY_DUCK}) AS kept_doc,
+       arg_min(nt, {_KEEP_KEY_DUCK}) AS kept_tokens,
+       CAST(count(*) - 1 AS BIGINT) AS n_dropped
+FROM j
+GROUP BY component
+"""
+
+
+# ---------------------------------------------------------------------------
 # Benchmark decontamination (round 3): the training-pipeline op that
 # removes corpus documents overlapping an evaluation benchmark.  Public
 # pipelines (GPT-3 appx. C, The Pile, Gopher) define contamination as
@@ -891,6 +954,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "simhash64_near_dup": simhash64_near_dup,
     "dedup_components": dedup_components,
+    "cluster_representatives": cluster_representatives,
     "decontaminate": decontaminate,
 }
 
@@ -904,5 +968,6 @@ ORACLES = {
     "dedup_simhash": _SIMHASH_SQL,
     "simhash64_near_dup": _SIMHASH64_SQL,
     "dedup_components": _COMPONENTS_SQL,
+    "cluster_representatives": _REPS_SQL,
     "decontaminate": _DECON_SQL,
 }

@@ -431,6 +431,52 @@ def image_caption_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- caption-image alignment scoring ------------------------------------------
+#
+# The LAION-style curation step: score every (image, caption) pair and
+# flag low-alignment pairs for drop/review.  No CLIP exists in this
+# sandbox, so the scoring kernel is a DETERMINISTIC STAND-IN with the
+# same contract and the same 100 TB plan shape: both modalities embed to
+# 64-bit sign vectors (image = stored pHash; caption = 64-bit SimHash of
+# its tokens, md5-nibble votes), and the alignment score is their ±1 dot
+# product, 64 - 2*hamming — pure integer ops.  A real deployment swaps
+# the two embedders for CLIP towers and the int64 dot for a float
+# cosine; nothing else in the plan changes.
+_CAPTOK = "filter(split(lower(caption), '[^a-z0-9]+'), t -> t != '')"
+
+
+def caption_alignment(spark: SparkSession, sf: str) -> DataFrame:
+    """(image_id, align_score, mismatch) over the joint image+caption
+    corpus: score = dot of the two 64-bit sign embeddings (int, exact),
+    mismatch = score < 0.
+
+    100 TB shape: caption tokens explode -> ONE partial-agg groupBy on
+    (image_id, phash) packs the 64 votes into an int64 — the only
+    shuffle; the score is a map-side xor/bit_count against the stored
+    phash (no join: phash rides through the aggregate as a grouping
+    key it is functionally dependent on)."""
+    from .dedup import _NIB_SPARK
+
+    base = _joint_corpus_df(spark)
+    tok = (
+        base.select("image_id", "phash", F.explode(F.expr(_CAPTOK)).alias("tok"))
+        .withColumn("h", F.md5(F.col("tok")))
+        .withColumn("nib", F.expr(_NIB_SPARK))
+    )
+    votes = [
+        F.sum(F.expr(f"(shiftright(nib[{j // 4}], {j % 4}) & 1) * 2 - 1")).alias(f"v{j}")
+        for j in range(64)
+    ]
+    agg = tok.groupBy("image_id", "phash").agg(*votes)
+    pack = " | ".join(f"shiftleft(CAST(v{j} >= 0 AS LONG), {j})" for j in range(64))
+    sig = agg.select("image_id", "phash", F.expr(pack).alias("cap_sig"))
+    return sig.select(
+        "image_id",
+        F.expr("CAST(64 - 2 * bit_count(phash ^ cap_sig) AS INT)").alias("align_score"),
+        F.expr("64 - 2 * bit_count(phash ^ cap_sig) < 0").alias("mismatch"),
+    )
+
+
 # --- composed image-corpus curation ------------------------------------------
 
 _CUR_STATS_SCHEMA = (
@@ -530,6 +576,7 @@ QUERIES = {
     "image_caption_dedup": image_caption_dedup,
     "image_sharpness": image_sharpness,
     "image_curation": image_curation,
+    "caption_alignment": caption_alignment,
 }
 
 ORACLES = {
@@ -547,5 +594,8 @@ ORACLES = {
     ),
     "image_curation": (
         f"SELECT * FROM read_parquet('{os.path.join(_GOLDEN, 'image_curation.parquet')}')"
+    ),
+    "caption_alignment": (
+        f"SELECT * FROM read_parquet('{os.path.join(_GOLDEN, 'caption_alignment.parquet')}')"
     ),
 }

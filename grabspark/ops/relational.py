@@ -240,6 +240,71 @@ SELECT host, event_id, rk, budget FROM (
 
 
 # ---------------------------------------------------------------------------
+# Politeness schedule (round 3): W1+X3 composed into the scheduler's real
+# output — a per-host fetch TIMETABLE.  per_host_budget answers "which
+# URLs fit this round"; this answers "when does each URL get fetched":
+# rank within host by arrival, fetch_at = rank * crawl_delay.  Only the
+# near-term horizon (first _SCHED_HORIZON per host) is materialized —
+# exactly how a real scheduler emits work, and the rank-limit window
+# pushes a Partial WindowGroupLimit below the exchange so no host ships
+# more than the horizon per map partition.
+# ---------------------------------------------------------------------------
+_SCHED_HORIZON = 50
+
+
+def politeness_schedule(spark: SparkSession, sf: str) -> DataFrame:
+    """(host, event_id, rk, fetch_at_ms, sched_round): per-host timetable
+    under the crawl-delay dimension.  fetch_at_ms = (rk-1)*delay*1000 is
+    exact integer-valued float math (delay in {1,2,3}); sched_round
+    buckets it into the engine's 6-second scheduling tick.
+
+    100 TB shape: ONE exchange on host serves the window; the delay
+    dimension broadcasts; the rank-limit filter is pushed below the
+    shuffle (Partial WindowGroupLimit), bounding every map partition to
+    the horizon per host.
+    """
+    e = T(spark, sf, "events").withColumn(
+        "host", F.concat(F.lit("h"), (F.col("user_id") % 10).cast("string"), F.lit(".test"))
+    )
+    delays = spark.createDataFrame(
+        [(f"h{i}.test", float(1 + (i % 3))) for i in range(10)], ["host", "crawl_delay"]
+    )
+    w = Window.partitionBy("host").orderBy("ts", "event_id")
+    return (
+        e.join(F.broadcast(delays), "host")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _SCHED_HORIZON)
+        .select(
+            "host",
+            "event_id",
+            "rk",
+            F.expr("CAST((rk - 1) * crawl_delay * 1000 AS BIGINT)").alias("fetch_at_ms"),
+            F.expr(
+                "CAST(CAST((rk - 1) * crawl_delay * 1000 AS BIGINT) DIV 6000 AS INT)"
+            ).alias("sched_round"),
+        )
+    )
+
+
+_SCHEDULE_SQL = f"""
+WITH delays AS (
+  SELECT 'h' || i || '.test' AS host, CAST(1 + (i % 3) AS DOUBLE) AS crawl_delay
+  FROM (SELECT unnest(generate_series(0, 9)) AS i)
+), fr AS (
+  SELECT 'h' || (user_id % 10) || '.test' AS host, event_id, ts FROM events
+), ranked AS (
+  SELECT fr.host, fr.event_id, d.crawl_delay,
+         row_number() OVER (PARTITION BY fr.host ORDER BY fr.ts, fr.event_id) AS rk
+  FROM fr JOIN delays d ON fr.host = d.host
+)
+SELECT host, event_id, rk,
+       CAST((rk - 1) * crawl_delay * 1000 AS BIGINT) AS fetch_at_ms,
+       CAST(CAST((rk - 1) * crawl_delay * 1000 AS BIGINT) // 6000 AS INT) AS sched_round
+FROM ranked WHERE rk <= {_SCHED_HORIZON}
+"""
+
+
+# ---------------------------------------------------------------------------
 # W2 global FIFO sequence
 # ---------------------------------------------------------------------------
 
@@ -1158,6 +1223,7 @@ QUERIES = {
     "fetch_lookup_join": fetch_lookup_join,
     "window_rank_per_host": window_rank_per_host,
     "per_host_budget": per_host_budget,
+    "politeness_schedule": politeness_schedule,
     "global_fifo_seq": global_fifo_seq,
     "first_occurrence_dedup": first_occurrence_dedup,
     "url_canonicalize": url_canonicalize,
@@ -1185,6 +1251,7 @@ ORACLES = {
     "fetch_lookup_join": _FETCH_SQL,
     "window_rank_per_host": _RANK_SQL,
     "per_host_budget": _BUDGET_SQL,
+    "politeness_schedule": _SCHEDULE_SQL,
     "global_fifo_seq": _SEQ_SQL,
     "first_occurrence_dedup": _FIRSTOCC_SQL,
     "url_canonicalize": _CANON_SQL,

@@ -633,6 +633,87 @@ FROM chunks
 """
 
 
+# ---------------------------------------------------------------------------
+# Training-mixture weights (round 3): turn per-language corpus sizes into
+# integer sampling quotas — the data-mixing step that decides how much of
+# each language/domain a training run draws.  Public multilingual recipes
+# (mBERT, XLM-R exponential smoothing) sample with weight ∝ count^alpha,
+# alpha ~ 0.3-0.7, to up-weight low-resource strata; alpha = 0.5 here.
+# Every step is integer-exact so both engines agree bit-for-bit:
+# weight_l = floor(sqrt(n_tokens_l)) (IEEE sqrt is correctly rounded in
+# both engines), base quota = floor(BUDGET * w_l / W) by bigint division,
+# and the leftover (BUDGET - sum of floors < #langs) goes to the largest
+# remainders (tie: lang ASC) — the largest-remainder method, so quotas
+# sum to exactly BUDGET.
+_MIX_BUDGET = 1_000_000
+
+
+def mixture_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """(lang, n_docs, n_tokens, weight, quota): temperature-smoothed
+    (alpha=0.5) per-language sampling quotas summing exactly to
+    ``_MIX_BUDGET``.
+
+    100 TB shape: ONE partial-agg groupBy over the corpus (map-side
+    combine reduces each partition to #langs rows before the shuffle);
+    everything after runs on the #langs-row frame, where the unavoidable
+    single-partition windows are metadata-scale.
+    """
+    d = T(spark, sf, "documents").select("lang", F.expr(f"size({_TOKENS})").alias("nt"))
+    per = d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("nt").alias("n_tokens")
+    )
+    per = per.withColumn("weight", F.expr("CAST(floor(sqrt(n_tokens)) AS BIGINT)"))
+    wall = Window.partitionBy()
+    per = per.withColumn("w_total", F.sum("weight").over(wall)).withColumn(
+        "base", F.expr(f"CAST({_MIX_BUDGET} AS BIGINT) * weight DIV w_total")
+    )
+    leftover = F.lit(_MIX_BUDGET) - F.sum("base").over(wall)
+    rem_rank = F.row_number().over(
+        Window.orderBy(
+            F.desc(F.expr(f"CAST({_MIX_BUDGET} AS BIGINT) * weight % w_total")),
+            F.asc("lang"),
+        )
+    )
+    return (
+        per.withColumn("extra", (rem_rank <= leftover).cast("long"))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "weight",
+            (F.col("base") + F.col("extra")).alias("quota"),
+        )
+    )
+
+
+_MIX_SQL = f"""
+WITH per AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({_TOKENS_DUCK})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+),
+w AS (
+  SELECT lang, n_docs, n_tokens,
+         CAST(floor(sqrt(n_tokens)) AS BIGINT) AS weight
+  FROM per
+),
+q AS (
+  SELECT lang, n_docs, n_tokens, weight,
+         CAST({_MIX_BUDGET} AS BIGINT) * weight // sum(weight) OVER () AS base,
+         CAST({_MIX_BUDGET} AS BIGINT) * weight % sum(weight) OVER () AS rem
+  FROM w
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, lang ASC) AS rem_rank,
+         {_MIX_BUDGET} - sum(base) OVER () AS leftover
+  FROM q
+)
+SELECT lang, n_docs, n_tokens, weight,
+       CAST(base + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+FROM r
+"""
+
+
 QUERIES = {
     "text_cleanup": text_cleanup,
     "token_count": token_count,
@@ -647,6 +728,7 @@ QUERIES = {
     "repetition_signals": repetition_signals,
     "stratified_sample": stratified_sample,
     "chunk_documents": chunk_documents,
+    "mixture_weights": mixture_weights,
 }
 
 ORACLES = {
@@ -663,4 +745,5 @@ ORACLES = {
     "repetition_signals": _REP_SQL,
     "stratified_sample": _SAMPLE_SQL,
     "chunk_documents": _CHUNK_SQL,
+    "mixture_weights": _MIX_SQL,
 }

@@ -338,6 +338,39 @@ def build_image_caption_dedup_golden() -> pd.DataFrame:
     return out
 
 
+def build_caption_alignment_golden() -> pd.DataFrame:
+    """INDEPENDENT caption-alignment golden: per-token md5-nibble vote
+    loops build the caption's 64-bit sign embedding (explicit python
+    bit arithmetic — no Spark, no shared vote/pack expression), then
+    score = 64 - 2*popcount(phash XOR sig) from the stored phash int."""
+    import hashlib
+    import re
+
+    from grabspark.ops import images as im
+
+    pdf = im.build_joint_corpus()
+    mask = (1 << 64) - 1
+    rows = []
+    for r in pdf.itertuples(index=False):
+        toks = [t for t in re.split(r"[^a-z0-9]+", r.caption.lower()) if t]
+        votes = [0] * 64
+        for t in toks:
+            hx = hashlib.md5(t.encode()).hexdigest()
+            for j in range(64):
+                bit = (int(hx[j // 4], 16) >> (j % 4)) & 1
+                votes[j] += 1 if bit else -1
+        sig = 0
+        for j in range(64):
+            if votes[j] >= 0:
+                sig |= 1 << j
+        ham = bin((int(r.phash) ^ sig) & mask).count("1")
+        score = 64 - 2 * ham
+        rows.append((r.image_id, score, score < 0))
+    out = pd.DataFrame(rows, columns=["image_id", "align_score", "mismatch"])
+    out["align_score"] = out["align_score"].astype("int32")
+    return out
+
+
 def main(sf_dirs: list[str]) -> None:
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     for sf_dir in sf_dirs:
@@ -354,6 +387,7 @@ def main(sf_dirs: list[str]) -> None:
         ("image_sharpness", build_image_sharpness_golden),
         ("image_curation", build_image_curation_golden),
         ("image_caption_dedup", build_image_caption_dedup_golden),
+        ("caption_alignment", build_caption_alignment_golden),
     ):
         pdf = builder()
         out = os.path.join(GOLDEN_DIR, f"{name}.parquet")
