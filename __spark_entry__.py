@@ -273,6 +273,8 @@ _BEYOND_GATE = (
     "politeness_schedule",
     "cluster_representatives",
     "caption_alignment",
+    "bpe_merge_candidates",
+    "source_quality_rollup",
 )
 
 

@@ -714,6 +714,121 @@ FROM r
 """
 
 
+# ---------------------------------------------------------------------------
+# BPE merge-candidate mining (round 3): the statistic the first iteration
+# of byte-pair-encoding tokenizer training computes — corpus-weighted
+# counts of adjacent symbol pairs inside words (Sennrich et al. 2016,
+# public).  At 100 TB this is exactly two partial-agg groupBys: the first
+# collapses the token stream to the vocabulary (shuffle carries one row
+# per distinct word per partition), the second runs over vocab x avg
+# word length rows — corpus-size-independent.
+_BPE_TOP = 30
+_WORDS = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+_WORDS_DUCK = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+
+def bpe_merge_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-{k} adjacent character pairs weighted by word frequency —
+    the argmax of round 1 of BPE training.  Ties pinned (n DESC, pair
+    ASC) so the LIMIT is deterministic; repeated pairs inside a word
+    ('aaa' -> 'aa' twice) each count, matching the published algorithm.
+    """
+    d = T(spark, sf, "documents").select(F.explode(F.expr(_WORDS)).alias("word"))
+    wf = d.groupBy("word").agg(F.count("*").alias("cnt"))
+    pairs = wf.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN length(word) >= 2 THEN "
+                "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2)) "
+                "ELSE CAST(array() AS ARRAY<STRING>) END"
+            )
+        ).alias("pair"),
+        "cnt",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(_BPE_TOP)
+    )
+
+
+_BPE_SQL = f"""
+WITH w AS (
+  SELECT unnest({_WORDS_DUCK}) AS word FROM documents
+),
+wf AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+p AS (
+  SELECT substring(word, CAST(i AS INT), 2) AS pair, cnt
+  FROM wf, LATERAL (
+    SELECT unnest(generate_series(1, length(word) - 1)) AS i
+  ) g
+  WHERE length(word) >= 2
+)
+SELECT pair, CAST(sum(cnt) AS BIGINT) AS n
+FROM p GROUP BY pair
+ORDER BY n DESC, pair ASC LIMIT {_BPE_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Domain-level quality rollup (round 3): curation policy at the SOURCE
+# granularity — public pipelines (C4, RefinedWeb) gate whole domains, not
+# just documents, because quality correlates by origin.  Gopher-style
+# rule surrogate: a source whose pooled stopword rate is under 2% is
+# flagged (gibberish/keyword-stuffing signal).  Integer-exact basis
+# points; ONE partial-agg groupBy on source.
+_SRC_STOP_BP_MIN = 200
+
+
+def source_quality_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """(source, n_docs, n_tokens, n_stop, stop_bp, flagged): pooled
+    per-source quality stats and the domain gate decision."""
+    stop_arr = "array(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
+    d = T(spark, sf, "documents").select(
+        "source",
+        F.expr(f"size({_TOKENS})").alias("nt"),
+        F.expr(f"size(filter({_TOKENS}, x -> array_contains({stop_arr}, x)))").alias("ns"),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+            F.sum("ns").alias("n_stop"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_stop",
+            F.expr("n_stop * 10000 DIV greatest(n_tokens, 1)").alias("stop_bp"),
+            F.expr(
+                f"n_stop * 10000 DIV greatest(n_tokens, 1) < {_SRC_STOP_BP_MIN}"
+            ).alias("flagged"),
+        )
+    )
+
+
+_SRCQ_SQL = f"""
+WITH d AS (
+  SELECT source,
+         len({_TOKENS_DUCK}) AS nt,
+         len(list_filter({_TOKENS_DUCK}, x -> list_contains(['the','a','of','to','and'], x))) AS ns
+  FROM documents
+),
+agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(nt) AS BIGINT) AS n_tokens, CAST(sum(ns) AS BIGINT) AS n_stop
+  FROM d GROUP BY source
+)
+SELECT source, n_docs, n_tokens, n_stop,
+       n_stop * 10000 // greatest(n_tokens, 1) AS stop_bp,
+       (n_stop * 10000 // greatest(n_tokens, 1)) < {_SRC_STOP_BP_MIN} AS flagged
+FROM agg
+"""
+
+
 QUERIES = {
     "text_cleanup": text_cleanup,
     "token_count": token_count,
@@ -729,6 +844,8 @@ QUERIES = {
     "stratified_sample": stratified_sample,
     "chunk_documents": chunk_documents,
     "mixture_weights": mixture_weights,
+    "bpe_merge_candidates": bpe_merge_candidates,
+    "source_quality_rollup": source_quality_rollup,
 }
 
 ORACLES = {
@@ -746,4 +863,6 @@ ORACLES = {
     "stratified_sample": _SAMPLE_SQL,
     "chunk_documents": _CHUNK_SQL,
     "mixture_weights": _MIX_SQL,
+    "bpe_merge_candidates": _BPE_SQL,
+    "source_quality_rollup": _SRCQ_SQL,
 }
