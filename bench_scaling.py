@@ -40,8 +40,19 @@ def _session(cores: int, app: str, shuffle_partitions: int = 64):
     # the candidate exchange defeats stage pipelining, and the cost is
     # core-count-independent, so it reads as (bogus) scaling loss.
     aqe = os.environ.get("GRABSPARK_AQE", "1") != "0"
+    builder = SparkSession.builder
+    # shuffle/spill scratch: GRABSPARK_LOCAL_DIR=/dev/shm/... routes the
+    # candidate shuffle through tmpfs instead of the virtio disk — the
+    # experiment that separates "16-thread wall is fs/disk overhead"
+    # from "16-thread wall is memory-bus/CPU" (BENCH/BASELINE.md).
+    # Unlike driver-memory this is honored from builder config: local
+    # dirs resolve when the SparkContext starts, after builder configs.
+    local_dir = os.environ.get("GRABSPARK_LOCAL_DIR")
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     spark = (
-        SparkSession.builder.master(f"local[{cores}]")
+        builder.master(f"local[{cores}]")
         .appName(app)
         # identical plan at both parallelism levels — only core count
         # differs; partition count tracks DATA size (meta.json), never

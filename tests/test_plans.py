@@ -516,3 +516,72 @@ def test_frontier_snapshot_diff_is_joinless_union_agg(spark):
     p = plan(frontier_snapshot_diff(spark, SF))
     assert "Join" not in p and "CartesianProduct" not in p
     assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2
+
+
+def test_politeness_schedule_broadcast_dim_and_rank_limit(spark):
+    """The timetable's scale contract: the crawl-delay dimension joins
+    by BROADCAST (never shuffles the frontier for a 10-row dim), and the
+    horizon filter pushes a Partial WindowGroupLimit below the single
+    host exchange so no map partition ships more than the horizon."""
+    import re
+
+    from grabspark.ops.relational import politeness_schedule
+
+    p = plan(politeness_schedule(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    partial = re.search(r"\(\d+\) WindowGroupLimit[\s\S]*?Partial", p)
+    assert partial is not None, "map-side Partial WindowGroupLimit missing"
+
+
+def test_mixture_weights_partial_agg_pruned_scan(spark):
+    """Mixture weights at 100 TB: the corpus pass is ONE partial-agg
+    groupBy over a 2-column pruned scan; the windows that follow touch
+    only the #langs-row aggregate."""
+    from grabspark.ops.textstats import mixture_weights
+
+    p = plan(mixture_weights(spark, SF))
+    assert "partial_" in p.lower()
+    scan_schema = p.split("ReadSchema")[1].split("\n")[0]
+    assert "lang" in scan_schema and "text" in scan_schema
+    assert "doc_id" not in scan_schema and "source" not in scan_schema
+
+
+def test_caption_alignment_no_join_single_exchange(spark):
+    """Alignment scoring's contract: phash rides through the vote
+    aggregate as a grouping key, so the plan has NO join and exactly one
+    (non-broadcast) exchange — the score itself is map-side integer ops."""
+    import re
+
+    from grabspark.ops.images import caption_alignment
+
+    p = plan(caption_alignment(spark, SF))
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+
+
+def test_bpe_merge_candidates_bounded_topk(spark):
+    """BPE mining: two partial-agg groupBys and a TakeOrderedAndProject
+    top-k — the full pair table is never globally sorted."""
+    import re
+
+    from grabspark.ops.textstats import bpe_merge_candidates
+
+    p = plan(bpe_merge_candidates(spark, SF))
+    assert "TakeOrderedAndProject" in p
+    assert "Join" not in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2
+
+
+def test_source_quality_rollup_single_exchange(spark):
+    """Domain gate: ONE partial-agg exchange on source over a pruned
+    (source, text) scan."""
+    import re
+
+    from grabspark.ops.textstats import source_quality_rollup
+
+    p = plan(source_quality_rollup(spark, SF))
+    assert "partial_" in p.lower()
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    scan_schema = p.split("ReadSchema")[1].split("\n")[0]
+    assert "doc_id" not in scan_schema and "lang" not in scan_schema
