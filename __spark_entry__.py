@@ -275,6 +275,7 @@ _BEYOND_GATE = (
     "caption_alignment",
     "bpe_merge_candidates",
     "source_quality_rollup",
+    "image_cluster_reps",
 )
 
 

@@ -570,6 +570,111 @@ def image_curation(spark: SparkSession, sf: str) -> DataFrame:
     ).select("image_id", "fmt", "lap_var")
 
 
+# --- image cluster representatives --------------------------------------------
+#
+# The image-side KEEP decision: perceptual near-dup clusters (banded
+# pHash candidates -> exact hamming verify -> connected components via
+# the O(log n) star contraction shared with dedup.cc_two_phase), then
+# each cluster keeps its SHARPEST member (max Laplacian variance, tie ->
+# lexicographically smallest image_id) — the quality-based survivor
+# policy a real image corpus uses, vs cluster_representatives' length
+# rule on text.  Graded against a committed golden computed by
+# independent python (all-pairs hamming + union-find + loop-math
+# sharpness — no banding, no Spark, no numpy vectorization).
+
+
+def image_cluster_reps(spark: SparkSession, sf: str) -> DataFrame:
+    """(component, csize, kept_image, kept_lap_var, n_dropped) over the
+    two-class sharpness corpus.
+
+    100 TB shape: ONE Arrow pass computes both signals (pHash + lap
+    var); candidates are the 4x16-band equi-join (never all-pairs);
+    components run on the pair graph (tiny vs corpus); the survivor
+    argmax is a per-component window over cluster-sized data."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import Window
+
+    from .dedup import cc_two_phase
+
+    path = os.path.join(tempfile.mkdtemp(prefix="grabspark-clusterreps-"), "c.parquet")
+    pdf0 = build_sharpness_corpus()
+    schema = pa.schema(
+        [("image_id", pa.string()), ("bytes", pa.binary()), ("w", pa.int32()),
+         ("h", pa.int32()), ("fmt", pa.string())]
+    )
+    pq.write_table(pa.Table.from_pandas(pdf0, schema=schema, preserve_index=False), path)
+
+    def kernel(it):
+        for pdf in it:
+            lap, sigs = [], []
+            for r in pdf.itertuples(index=False):
+                px = imaging.decode_image(r.bytes, int(r.w), int(r.h), r.fmt)
+                lap.append(image_sharpness_kernel(px)[0])
+                sigs.append(imaging.phash64(px))  # already signed int64
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"].to_numpy(),
+                    "lap_var": lap,
+                    "sig": pd.Series(sigs, dtype="int64"),
+                }
+            )
+
+    stats = (
+        spark.read.parquet(path)
+        .mapInPandas(kernel, "image_id string, lap_var double, sig long")
+        .persist()
+    )
+    banded = stats.select(
+        "image_id",
+        "sig",
+        F.posexplode(
+            F.array(*[
+                (F.shiftright("sig", b * _BAND_BITS).bitwiseAND(F.lit(0xFFFF)))
+                for b in range(_BANDS)
+            ])
+        ).alias("band", "bucket"),
+    )
+    a, b2 = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.image_id") < F.col("b.image_id")),
+        )
+        .select(
+            F.col("a.image_id").alias("doc_a"),
+            F.col("b.image_id").alias("doc_b"),
+            F.expr("bit_count(a.sig ^ b.sig)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= HAM_MAX)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    labels, _ = cc_two_phase(pairs, n_parts=4)
+    sized = labels.groupBy("lab").agg(F.count("*").alias("csize"))
+    memb = labels.join(sized, "lab").join(
+        stats, labels.node == stats.image_id
+    ).select(
+        F.col("lab").alias("component"), "csize", "image_id", "lap_var"
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("lap_var"), F.asc("image_id"))
+    out = (
+        memb.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            "csize",
+            F.col("image_id").alias("kept_image"),
+            F.col("lap_var").alias("kept_lap_var"),
+            (F.col("csize") - 1).alias("n_dropped"),
+        )
+    )
+    return out
+
+
 QUERIES = {
     "image_phash_near_dup": image_phash_near_dup,
     "image_features": image_features,
@@ -577,6 +682,7 @@ QUERIES = {
     "image_sharpness": image_sharpness,
     "image_curation": image_curation,
     "caption_alignment": caption_alignment,
+    "image_cluster_reps": image_cluster_reps,
 }
 
 ORACLES = {
@@ -597,5 +703,8 @@ ORACLES = {
     ),
     "caption_alignment": (
         f"SELECT * FROM read_parquet('{os.path.join(_GOLDEN, 'caption_alignment.parquet')}')"
+    ),
+    "image_cluster_reps": (
+        f"SELECT * FROM read_parquet('{os.path.join(_GOLDEN, 'image_cluster_reps.parquet')}')"
     ),
 }

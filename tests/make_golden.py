@@ -338,6 +338,57 @@ def build_image_caption_dedup_golden() -> pd.DataFrame:
     return out
 
 
+def build_image_cluster_reps_golden() -> pd.DataFrame:
+    """INDEPENDENT cluster-reps golden: ALL-PAIRS hamming over the
+    sharpness corpus (no banding), python UNION-FIND for components (vs
+    the engine's star contraction), loop-math sharpness (vs the numpy
+    kernel), survivor = (lap_var DESC, image_id ASC) argmax per
+    component labeled by its min image_id."""
+    from grabspark import imaging
+    from grabspark.ops import images as im
+
+    pdf = im.build_sharpness_corpus()
+    recs = []
+    for r in pdf.itertuples(index=False):
+        px = imaging.decode_image(r.bytes, int(r.w), int(r.h), r.fmt)
+        lv, _ = _golden_sharpness(px)
+        recs.append((r.image_id, imaging.phash64(px), lv))
+
+    parent = {iid: iid for iid, _, _ in recs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    in_pair = set()
+    for i in range(len(recs)):
+        for j in range(i + 1, len(recs)):
+            if imaging.hamming64(recs[i][1], recs[j][1]) <= im.HAM_MAX:
+                a, b = recs[i][0], recs[j][0]
+                in_pair.add(a)
+                in_pair.add(b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    comps: dict[str, list[tuple[str, float]]] = {}
+    for iid, _, lv in recs:
+        if iid in in_pair:
+            comps.setdefault(find(iid), []).append((iid, lv))
+    rows = []
+    for members in comps.values():
+        label = min(m[0] for m in members)
+        kept = sorted(members, key=lambda m: (-m[1], m[0]))[0]
+        rows.append((label, len(members), kept[0], kept[1], len(members) - 1))
+    out = pd.DataFrame(
+        rows, columns=["component", "csize", "kept_image", "kept_lap_var", "n_dropped"]
+    )
+    out["csize"] = out["csize"].astype("int64")
+    out["n_dropped"] = out["n_dropped"].astype("int64")
+    return out
+
+
 def build_caption_alignment_golden() -> pd.DataFrame:
     """INDEPENDENT caption-alignment golden: per-token md5-nibble vote
     loops build the caption's 64-bit sign embedding (explicit python
@@ -388,6 +439,7 @@ def main(sf_dirs: list[str]) -> None:
         ("image_curation", build_image_curation_golden),
         ("image_caption_dedup", build_image_caption_dedup_golden),
         ("caption_alignment", build_caption_alignment_golden),
+        ("image_cluster_reps", build_image_cluster_reps_golden),
     ):
         pdf = builder()
         out = os.path.join(GOLDEN_DIR, f"{name}.parquet")

@@ -585,3 +585,16 @@ def test_source_quality_rollup_single_exchange(spark):
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
     scan_schema = p.split("ReadSchema")[1].split("\n")[0]
     assert "doc_id" not in scan_schema and "lang" not in scan_schema
+
+
+def test_image_cluster_reps_no_cartesian_banded_candidates(spark):
+    """Cluster-reps' 100 TB contract: one Arrow kernel pass feeds both
+    signals, near-dup candidates come from the 4x16-band equi-join
+    (SortMergeJoin/ShuffledHashJoin on (band, bucket)) — never an
+    all-pairs cartesian — and the survivor argmax is a per-component
+    window, not a global sort."""
+    from grabspark.ops import images
+
+    p = plan(images.image_cluster_reps(spark, SF))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "RunningWindowFunction" in p or "Window" in p
