@@ -276,6 +276,9 @@ _BEYOND_GATE = (
     "bpe_merge_candidates",
     "source_quality_rollup",
     "image_cluster_reps",
+    "redirect_resolution",
+    "anchor_text_topk",
+    "pack_sequences",
 )
 
 

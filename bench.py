@@ -83,6 +83,9 @@ HEADLINE = [
     "stratified_sample",
     "chunk_documents",
     "sitemap_parse",
+    "redirect_resolution",
+    "anchor_text_topk",
+    "pack_sequences",
     "audio_features",
     "video_frame_sample",
     "image_features",

@@ -1214,6 +1214,168 @@ GROUP BY user_id, session_idx
 """
 
 
+# --- redirect-chain resolution ------------------------------------------------
+#
+# A crawl's fetch log is full of 3xx hops; the frontier must resolve
+# every discovered URL to its FINAL target before the seen-filter
+# anti-join, or the same page is fetched once per alias.  The reference
+# follows redirects implicitly inside http.Get
+# (/root/reference/functions/main_functions.go:47 — net/http follows up
+# to 10 hops client-side); at corpus scale resolution is a GRAPH problem
+# over the redirect edge set.
+#
+# 100 TB shape: POINTER DOUBLING, not per-hop iteration — k joins
+# resolve chains of length 2^k, so a 10-hop crawl ceiling is 4
+# equi-joins on url_canon (each co-partitionable with the bucketed edge
+# table), vs 10 sequential joins for the naive walk.  Each round joins
+# the frontier's (src, cursor) against the edge table and advances the
+# cursor 2^i hops; rows whose cursor already left the edge set pass
+# through untouched (left join + coalesce).  The DuckDB oracle is a
+# genuinely different algorithm: a per-hop RECURSIVE walk.
+
+_REDIR_HOP_CAP = 10  # net/http's client-side redirect ceiling
+
+_REDIR_URL = (
+    "concat('http://h', CAST(({k}) % 7 AS {s}), '.test/o/', CAST({k} AS {s}))"
+)
+
+
+def redirect_resolution(spark: SparkSession, sf: str) -> DataFrame:
+    """(o_orderkey, url, final_url, hops) for every redirect source: the
+    terminal URL after following the whole chain, plus chain length."""
+    o = T(spark, sf, "orders")
+    edges = (
+        o.filter(F.expr("o_orderkey % 8 IN (1, 2, 3)"))
+        .select(
+            "o_orderkey",
+            F.expr(_REDIR_URL.format(k="o_orderkey", s="STRING")).alias("src"),
+            F.expr(_REDIR_URL.format(k="o_orderkey - 1", s="STRING")).alias("dst"),
+        )
+        .persist()
+    )
+    # frontier state: one row per original src, cursor starts 1 hop out
+    f = edges.select(
+        "o_orderkey",
+        F.col("src").alias("url"),
+        F.col("dst").alias("cursor"),
+        F.lit(1).cast("long").alias("hops"),
+    )
+    hop_edges = edges.select(
+        F.col("src").alias("e_src"),
+        F.col("dst").alias("e_dst"),
+        F.lit(1).cast("long").alias("e_hops"),
+    )
+    rounds = max(1, (_REDIR_HOP_CAP - 1).bit_length())  # 2^rounds >= cap
+    for i in range(rounds):
+        f = (
+            f.join(hop_edges, f.cursor == hop_edges.e_src, "left")
+            .select(
+                "o_orderkey",
+                "url",
+                F.coalesce("e_dst", "cursor").alias("cursor"),
+                (F.col("hops") + F.coalesce("e_hops", F.lit(0))).alias("hops"),
+            )
+        )
+        if i == rounds - 1:
+            break
+        # double the edge table: src -2^i-> dst becomes src -2^(i+1)-> dst;
+        # localCheckpoint materializes each doubled table once (truncated
+        # lineage — otherwise every later round re-plans the whole tree)
+        nxt = hop_edges.alias("x").join(
+            hop_edges.alias("y"), F.col("x.e_dst") == F.col("y.e_src"), "left"
+        )
+        hop_edges = nxt.select(
+            F.col("x.e_src").alias("e_src"),
+            F.coalesce("y.e_dst", "x.e_dst").alias("e_dst"),
+            (F.col("x.e_hops") + F.coalesce("y.e_hops", F.lit(0))).alias("e_hops"),
+        ).localCheckpoint()
+    edges.unpersist()
+    return f.select(
+        "o_orderkey", "url", F.col("cursor").alias("final_url"), "hops"
+    )
+
+
+_REDIR_SQL = (
+    "WITH RECURSIVE e AS (SELECT o_orderkey, "
+    + _REDIR_URL.format(k="o_orderkey", s="VARCHAR")
+    + " AS src, "
+    + _REDIR_URL.format(k="o_orderkey - 1", s="VARCHAR")
+    + " AS dst FROM orders WHERE o_orderkey % 8 IN (1, 2, 3)),\n"
+    """walk AS (
+  SELECT o_orderkey, src, dst AS cur, 1 AS hops FROM e
+  UNION ALL
+  SELECT w.o_orderkey, w.src, e.dst, w.hops + 1
+  FROM walk w JOIN e ON w.cur = e.src
+)
+SELECT o_orderkey, src AS url, cur AS final_url, CAST(hops AS BIGINT) AS hops
+FROM walk w
+WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = w.cur)
+"""
+)
+
+
+# --- anchor-text aggregation ---------------------------------------------------
+#
+# The web-graph signal a crawl corpus contributes to ranking and to
+# caption-style training data: for every link TARGET, the distinct
+# anchor texts pointing at it with their frequencies, keeping the top-k.
+# The reference extracts hrefs but discards the anchor text
+# (/root/reference/functions/main_functions.go:87-99 grabs attr values
+# only); this is the standard extension every link-graph pipeline runs.
+#
+# 100 TB shape: groupBy(target, anchor) gets a map-side partial
+# aggregate (the anchor vocabulary per target is tiny vs the edge
+# count, so the combine collapses almost everything before the
+# shuffle), then the top-k window runs per-target over already-reduced
+# rows.  One shuffle of the reduced pairs, never of the raw edge set.
+
+_ANCHOR_TOP_K = 2
+
+
+def anchor_text_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """(target, anchor, n_links, rank) — top-2 anchor texts per target by
+    (count DESC, anchor ASC) over the lineitem-derived link set."""
+    li = T(spark, sf, "lineitem")
+    pairs = li.select(
+        F.expr(
+            "concat('http://h', CAST(l_orderkey % 11 AS STRING), '.test/o/',"
+            " CAST(l_orderkey AS STRING))"
+        ).alias("target"),
+        F.expr(
+            "concat(lower(l_returnflag), lower(l_linestatus), CAST(l_linenumber % 3 AS STRING))"
+        ).alias("anchor"),
+    )
+    counts = pairs.groupBy("target", "anchor").agg(F.count("*").alias("n_links"))
+    w = Window.partitionBy("target").orderBy(F.desc("n_links"), F.asc("anchor"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _ANCHOR_TOP_K)
+        .select("target", "anchor", "n_links", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+_ANCHOR_SQL = f"""
+WITH pairs AS (
+  SELECT concat('http://h', CAST(l_orderkey % 11 AS VARCHAR), '.test/o/',
+                CAST(l_orderkey AS VARCHAR)) AS target,
+         concat(lower(l_returnflag), lower(l_linestatus), CAST(l_linenumber % 3 AS VARCHAR)) AS anchor
+  FROM lineitem
+),
+counts AS (
+  SELECT target, anchor, count(*) AS n_links
+  FROM pairs GROUP BY target, anchor
+)
+SELECT target, anchor, n_links, CAST(rank AS INT) AS rank
+FROM (
+  SELECT target, anchor, n_links,
+         row_number() OVER (PARTITION BY target
+                            ORDER BY n_links DESC, anchor ASC) AS rank
+  FROM counts
+)
+WHERE rank <= {_ANCHOR_TOP_K}
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1240,6 +1402,8 @@ QUERIES = {
     "metrics_rollup": metrics_rollup,
     "event_window_agg": event_window_agg,
     "sessionize_events": sessionize_events,
+    "redirect_resolution": redirect_resolution,
+    "anchor_text_topk": anchor_text_topk,
 }
 
 ORACLES = {
@@ -1268,4 +1432,6 @@ ORACLES = {
     "metrics_rollup": _METRICS_SQL,
     "event_window_agg": _WINDOW_SQL,
     "sessionize_events": _SESSIONIZE_SQL,
+    "redirect_resolution": _REDIR_SQL,
+    "anchor_text_topk": _ANCHOR_SQL,
 }

@@ -829,6 +829,77 @@ FROM agg
 """
 
 
+# --- training-sequence packing -------------------------------------------------
+#
+# The last mile of a pre-training pipeline: documents are concatenated
+# in a deterministic order and chopped into fixed-token-budget training
+# sequences (the standard GPT-style pack-and-split — a document that
+# crosses a boundary straddles two sequences).  Packing is defined per
+# (lang, shard) with shard = doc_id % _PACK_SHARDS, which makes it
+# embarrassingly parallel at corpus scale: each shard packs its own
+# token stream independently, so 100 TB of text is N_lang x N_shard
+# independent window problems instead of one global serial scan — the
+# only shuffle is the hash partition on the (lang, shard) key, and skew
+# is bounded by construction (shards are uniform in doc_id).
+#
+# The closed form makes it window-expressible end-to-end (no UDF, no
+# recursion): with cum = running token sum, a doc occupies
+# [cum - tok, cum); its first sequence is (cum - tok) / budget and it
+# straddles iff (cum - 1) / budget differs.
+
+_PACK_BUDGET = 128  # tokens per training sequence
+_PACK_SHARDS = 8
+
+
+def pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """(lang, shard, doc_id, tok, seq_id, start_off, straddles) — each
+    document's position in the packed fixed-budget token stream."""
+    d = T(spark, sf, "documents")
+    toks = d.select(
+        "lang",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        "doc_id",
+        F.expr(f"CAST(size({_TOKENS}) AS BIGINT)").alias("tok"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.withColumn("cum", F.sum("tok").over(w))
+    return cum.select(
+        "lang",
+        "shard",
+        "doc_id",
+        "tok",
+        F.expr(f"(cum - tok) DIV {_PACK_BUDGET}").alias("seq_id"),
+        F.expr(f"(cum - tok) % {_PACK_BUDGET}").alias("start_off"),
+        F.expr(f"(cum - 1) DIV {_PACK_BUDGET} > (cum - tok) DIV {_PACK_BUDGET}").alias(
+            "straddles"
+        ),
+    )
+
+
+_PACK_SQL = f"""
+WITH toks AS (
+  SELECT lang, doc_id % {_PACK_SHARDS} AS shard, doc_id,
+         CAST(len({_TOKENS_DUCK}) AS BIGINT) AS tok
+  FROM documents
+),
+cums AS (
+  SELECT lang, shard, doc_id, tok,
+         sum(tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM toks
+)
+SELECT lang, shard, doc_id, tok,
+       (cum - tok) // {_PACK_BUDGET} AS seq_id,
+       (cum - tok) % {_PACK_BUDGET} AS start_off,
+       (cum - 1) // {_PACK_BUDGET} > (cum - tok) // {_PACK_BUDGET} AS straddles
+FROM cums
+"""
+
+
 QUERIES = {
     "text_cleanup": text_cleanup,
     "token_count": token_count,
@@ -846,6 +917,7 @@ QUERIES = {
     "mixture_weights": mixture_weights,
     "bpe_merge_candidates": bpe_merge_candidates,
     "source_quality_rollup": source_quality_rollup,
+    "pack_sequences": pack_sequences,
 }
 
 ORACLES = {
@@ -865,4 +937,5 @@ ORACLES = {
     "mixture_weights": _MIX_SQL,
     "bpe_merge_candidates": _BPE_SQL,
     "source_quality_rollup": _SRCQ_SQL,
+    "pack_sequences": _PACK_SQL,
 }

@@ -598,3 +598,46 @@ def test_image_cluster_reps_no_cartesian_banded_candidates(spark):
     p = plan(images.image_cluster_reps(spark, SF))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "RunningWindowFunction" in p or "Window" in p
+
+
+def test_redirect_resolution_log_joins_no_cartesian(spark):
+    """Pointer doubling's 100 TB contract: resolving a 10-hop ceiling
+    costs ceil(log2(10)) = 4 frontier joins (plus the edge-doubling
+    joins), every one an equi-join on a URL key — never a cartesian —
+    and the left side passes terminal rows through untouched."""
+    import re
+
+    from grabspark.ops.relational import redirect_resolution
+
+    p = plan(redirect_resolution(spark, SF))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    joins = len(re.findall(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", p))
+    # 4 frontier hops + 4 edge doublings; a per-hop walk would need 9+
+    assert joins <= 8, joins
+
+
+def test_anchor_text_topk_partial_agg_before_window(spark):
+    """Anchor aggregation's 100 TB contract: the raw link set is reduced
+    by a map-side partial aggregate BEFORE any shuffle, and the top-k is
+    a per-target window over the reduced rows (no global sort)."""
+    from grabspark.ops.relational import anchor_text_topk
+
+    p = plan(anchor_text_topk(spark, SF))
+    assert "partial_count" in p or "partial_" in p.lower()
+    assert "Window" in p
+    assert "CartesianProduct" not in p
+
+
+def test_pack_sequences_single_exchange_pruned_scan(spark):
+    """Sequence packing's 100 TB contract: one hash exchange on the
+    (lang, shard) key feeds the per-shard running-sum window — no second
+    shuffle, no UDF — and the scan reads only the columns it needs."""
+    import re
+
+    from grabspark.ops.textstats import pack_sequences
+
+    p = plan(pack_sequences(spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "Window" in p
+    scan_schema = p.split("ReadSchema")[1].split("\n")[0]
+    assert "source" not in scan_schema and "n_chars" not in scan_schema
