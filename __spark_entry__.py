@@ -279,6 +279,7 @@ _BEYOND_GATE = (
     "redirect_resolution",
     "anchor_text_topk",
     "pack_sequences",
+    "image_batch_buckets",
 )
 
 

@@ -93,6 +93,7 @@ HEADLINE = [
     "image_curation",
     "image_phash_near_dup",
     "image_caption_dedup",
+    "image_batch_buckets",
     "phash_knn",
 ]
 

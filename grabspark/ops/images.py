@@ -675,6 +675,69 @@ def image_cluster_reps(spark: SparkSession, sf: str) -> DataFrame:
     return out
 
 
+# --- aspect-ratio bucketed training batches -----------------------------------
+#
+# Multimodal training can't square-crop everything (it destroys
+# composition), so pipelines bucket images by aspect ratio + resolution
+# tier and draw each batch from ONE bucket (the SDXL / NovelAI
+# aspect-ratio-bucketing recipe).  This op assigns every stored image
+# its (bucket, batch, position) deterministically.
+#
+# 100 TB shape: the decision uses METADATA ONLY (w, h, image_id) — the
+# binary payload column must never leave the parquet scan, which is the
+# whole economics of the op at corpus scale (plan-guarded: ReadSchema
+# excludes `bytes`).  One hash exchange on the bucket key feeds both
+# windows (rank + bucket count share the partitioning); batches are
+# contiguous rank ranges, so batch assembly later is a partition-local
+# slice, and the final short batch per bucket is flagged (drop-last
+# semantics) via the closed form batch_idx < cnt DIV B.
+
+_BATCH_B = 4  # images per training batch (fixture-sized)
+
+
+def image_batch_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """(ar_bucket, res_tier, image_id, batch_idx, pos_in_batch, complete)
+    over the image corpus — each image's slot in aspect-ratio-bucketed
+    fixed-size training batches."""
+    from pyspark.sql import Window
+
+    imgs = _corpus_df(spark).select(
+        "image_id",
+        F.expr("CAST(w AS BIGINT) * 100 DIV h").alias("ar_bp"),
+        F.expr("CAST(w AS BIGINT) * h").alias("pixels"),
+    )
+    bucketed = imgs.select(
+        "image_id",
+        F.expr(
+            "CASE WHEN ar_bp < 75 THEN 'tall' WHEN ar_bp <= 133 THEN 'square' "
+            "ELSE 'wide' END"
+        ).alias("ar_bucket"),
+        F.expr(
+            "CASE WHEN pixels < 200 THEN 'small' WHEN pixels < 400 THEN 'medium' "
+            "ELSE 'large' END"
+        ).alias("res_tier"),
+    )
+    # both windows share one (partition, order) spec -> one Window node,
+    # one exchange; the count just widens its frame to the whole bucket
+    wk = Window.partitionBy("ar_bucket", "res_tier").orderBy("image_id")
+    rn = F.row_number().over(wk)
+    cnt = F.count("*").over(
+        wk.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        bucketed.withColumn("rn", rn)
+        .withColumn("cnt", cnt)
+        .select(
+            "ar_bucket",
+            "res_tier",
+            "image_id",
+            F.expr(f"CAST((rn - 1) DIV {_BATCH_B} AS BIGINT)").alias("batch_idx"),
+            F.expr(f"CAST((rn - 1) % {_BATCH_B} AS BIGINT)").alias("pos_in_batch"),
+            F.expr(f"(rn - 1) DIV {_BATCH_B} < cnt DIV {_BATCH_B}").alias("complete"),
+        )
+    )
+
+
 QUERIES = {
     "image_phash_near_dup": image_phash_near_dup,
     "image_features": image_features,
@@ -683,6 +746,7 @@ QUERIES = {
     "image_curation": image_curation,
     "caption_alignment": caption_alignment,
     "image_cluster_reps": image_cluster_reps,
+    "image_batch_buckets": image_batch_buckets,
 }
 
 ORACLES = {
@@ -706,5 +770,8 @@ ORACLES = {
     ),
     "image_cluster_reps": (
         f"SELECT * FROM read_parquet('{os.path.join(_GOLDEN, 'image_cluster_reps.parquet')}')"
+    ),
+    "image_batch_buckets": (
+        f"SELECT * FROM read_parquet('{os.path.join(_GOLDEN, 'image_batch_buckets.parquet')}')"
     ),
 }

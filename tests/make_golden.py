@@ -389,6 +389,41 @@ def build_image_cluster_reps_golden() -> pd.DataFrame:
     return out
 
 
+
+def build_image_batch_buckets_golden() -> pd.DataFrame:
+    """INDEPENDENT batch-bucketing golden: plain-python bucket rules and
+    sequential batch assignment over the corpus METADATA (sorted-list
+    scan + explicit counters — no window functions, no Spark)."""
+    from grabspark.ops import images as im
+
+    pdf = im.build_image_corpus()
+    buckets: dict[tuple[str, str], list[str]] = {}
+    for r in pdf.itertuples(index=False):
+        w, h = int(r.w), int(r.h)
+        ar_bp = (w * 100) // h
+        ar = "tall" if ar_bp < 75 else ("square" if ar_bp <= 133 else "wide")
+        px = w * h
+        tier = "small" if px < 200 else ("medium" if px < 400 else "large")
+        buckets.setdefault((ar, tier), []).append(r.image_id)
+    rows = []
+    B = im._BATCH_B
+    for (ar, tier), ids in buckets.items():
+        ids.sort()
+        n_full = len(ids) // B
+        for i, iid in enumerate(ids):
+            rows.append((ar, tier, iid, i // B, i % B, (i // B) < n_full))
+    out = pd.DataFrame(
+        rows,
+        columns=[
+            "ar_bucket", "res_tier", "image_id",
+            "batch_idx", "pos_in_batch", "complete",
+        ],
+    )
+    out["batch_idx"] = out["batch_idx"].astype("int64")
+    out["pos_in_batch"] = out["pos_in_batch"].astype("int64")
+    return out
+
+
 def build_caption_alignment_golden() -> pd.DataFrame:
     """INDEPENDENT caption-alignment golden: per-token md5-nibble vote
     loops build the caption's 64-bit sign embedding (explicit python
@@ -440,6 +475,7 @@ def main(sf_dirs: list[str]) -> None:
         ("image_caption_dedup", build_image_caption_dedup_golden),
         ("caption_alignment", build_caption_alignment_golden),
         ("image_cluster_reps", build_image_cluster_reps_golden),
+        ("image_batch_buckets", build_image_batch_buckets_golden),
     ):
         pdf = builder()
         out = os.path.join(GOLDEN_DIR, f"{name}.parquet")

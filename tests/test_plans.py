@@ -641,3 +641,19 @@ def test_pack_sequences_single_exchange_pruned_scan(spark):
     assert "Window" in p
     scan_schema = p.split("ReadSchema")[1].split("\n")[0]
     assert "source" not in scan_schema and "n_chars" not in scan_schema
+
+
+def test_image_batch_buckets_metadata_only_scan(spark):
+    """AR bucketing's 100 TB contract: the batching decision reads
+    METADATA ONLY — the binary payload column never leaves the parquet
+    scan — and one hash exchange on the bucket key feeds a single fused
+    Window node (rank + bucket count share partitioning AND ordering)."""
+    import re
+
+    from grabspark.ops import images
+
+    p = plan(images.image_batch_buckets(spark, SF))
+    scan_schema = p.split("ReadSchema")[1].split("\n")[0]
+    assert "bytes" not in scan_schema and "fmt" not in scan_schema
+    assert len(re.findall(r"\n\(\d+\) Exchange", p)) == 1
+    assert "CartesianProduct" not in p
