@@ -280,6 +280,7 @@ _BEYOND_GATE = (
     "anchor_text_topk",
     "pack_sequences",
     "image_batch_buckets",
+    "boilerplate_strip",
 )
 
 

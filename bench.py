@@ -86,6 +86,7 @@ HEADLINE = [
     "redirect_resolution",
     "anchor_text_topk",
     "pack_sequences",
+    "boilerplate_strip",
     "audio_features",
     "video_frame_sample",
     "image_features",

@@ -829,6 +829,136 @@ FROM agg
 """
 
 
+# --- boilerplate stripping -----------------------------------------------------
+#
+# Main-content extraction (the JusText / boilerpipe / C4 step): crawled
+# pages carry nav bars, footers, and "related" stubs that poison a
+# training corpus.  The classifier here is the standard shape — per-LINE
+# token density plus NEIGHBOR smoothing (a short line flanked by two
+# content lines is content: a heading inside an article survives; a nav
+# line at the page edge does not).
+#
+# Pages are synthesized deterministically from ``documents``: body text
+# re-lined 8 tokens per line, wrapped with a nav header, a short
+# RELATED stub mid-body, and a footer — each the boilerplate class the
+# rule must drop while the smoothing rescues the mid-body stub.
+#
+# 100 TB shape: construction + per-line features are a pure map
+# (posexplode of a transform); the lag/lead smoothing and the ordered
+# re-assembly share ONE hash exchange on doc_id (window + groupBy use
+# the same key); output is (counts, md5) so rows stay small.  All
+# JVM-side — no UDF anywhere.
+
+_BP_LINE_TOKS = 8  # tokens per synthesized body line
+_BP_MIN_TOKS = 5  # content threshold
+
+
+def boilerplate_strip(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, n_lines, n_kept, kept_tokens, kept_md5) after dropping
+    low-density lines not rescued by two content neighbors."""
+    d = T(spark, sf, "documents").select(
+        "doc_id", F.expr(_TOKENS).alias("toks")
+    )
+    lined = d.select(
+        "doc_id",
+        F.expr(
+            f"CASE WHEN size(toks) >= 1 THEN "
+            f"transform(sequence(1, size(toks), {_BP_LINE_TOKS}), "
+            f"s -> concat_ws(' ', slice(toks, s, {_BP_LINE_TOKS}))) "
+            f"ELSE CAST(array() AS ARRAY<STRING>) END"
+        ).alias("body"),
+    )
+    pages = lined.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                """concat(
+  array(concat('NAV home about doc', CAST(doc_id % 7 AS STRING))),
+  slice(body, 1, 1),
+  array(concat('RELATED: doc', CAST(doc_id % 9 AS STRING))),
+  CASE WHEN size(body) > 1 THEN slice(body, 2, size(body) - 1)
+       ELSE CAST(array() AS ARRAY<STRING>) END,
+  array(concat('(c) h', CAST(doc_id % 5 AS STRING), '.test rights'))
+)"""
+            )
+        ).alias("pos", "line"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    feat = pages.withColumn(
+        "content", F.expr(f"size(split(line, ' ')) >= {_BP_MIN_TOKS}")
+    ).withColumn(
+        "keep",
+        F.expr("content")
+        | (
+            F.coalesce(F.lag("content").over(w), F.lit(False))
+            & F.coalesce(F.lead("content").over(w), F.lit(False))
+        ),
+    )
+    return feat.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.expr("CAST(keep AS BIGINT)")).alias("n_kept"),
+        F.sum(
+            F.expr("CASE WHEN keep THEN size(split(line, ' ')) ELSE 0 END").cast("long")
+        ).alias("kept_tokens"),
+        F.md5(
+            F.expr(
+                "concat_ws(char(10), transform("
+                "array_sort(collect_list(CASE WHEN keep THEN struct(pos, line) END)),"
+                " s -> s.line))"
+            )
+        ).alias("kept_md5"),
+    )
+
+
+_BP_SQL = f"""
+WITH d AS (SELECT doc_id, {_TOKENS_DUCK} AS toks FROM documents),
+lined AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 1 THEN
+           list_transform(generate_series(1, len(toks), {_BP_LINE_TOKS}),
+             s -> array_to_string(toks[s : least(s + {_BP_LINE_TOKS} - 1, len(toks))], ' '))
+         ELSE [] END AS body
+  FROM d
+),
+assembled AS (
+  SELECT doc_id,
+         [concat('NAV home about doc', CAST(doc_id % 7 AS VARCHAR))]
+           || body[1:1]
+           || [concat('RELATED: doc', CAST(doc_id % 9 AS VARCHAR))]
+           || (CASE WHEN len(body) > 1 THEN body[2:]
+                    ELSE CAST([] AS VARCHAR[]) END)
+           || [concat('(c) h', CAST(doc_id % 5 AS VARCHAR), '.test rights')]
+           AS ls
+  FROM lined
+),
+pages AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos, ls[i] AS line
+  FROM assembled, LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i) u
+),
+feat AS (
+  SELECT doc_id, pos, line,
+         len(string_split(line, ' ')) >= {_BP_MIN_TOKS} AS content
+  FROM pages
+),
+flagged AS (
+  SELECT doc_id, pos, line, content,
+         (content OR (coalesce(lag(content) OVER w, false)
+                      AND coalesce(lead(content) OVER w, false))) AS keep
+  FROM feat
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+)
+SELECT doc_id,
+       count(*) AS n_lines,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN keep THEN len(string_split(line, ' ')) ELSE 0 END) AS BIGINT)
+         AS kept_tokens,
+       md5(coalesce(string_agg(line, chr(10) ORDER BY pos)
+                      FILTER (WHERE keep), '')) AS kept_md5
+FROM flagged
+GROUP BY doc_id
+"""
+
+
 # --- training-sequence packing -------------------------------------------------
 #
 # The last mile of a pre-training pipeline: documents are concatenated
@@ -918,6 +1048,7 @@ QUERIES = {
     "bpe_merge_candidates": bpe_merge_candidates,
     "source_quality_rollup": source_quality_rollup,
     "pack_sequences": pack_sequences,
+    "boilerplate_strip": boilerplate_strip,
 }
 
 ORACLES = {
@@ -938,4 +1069,5 @@ ORACLES = {
     "bpe_merge_candidates": _BPE_SQL,
     "source_quality_rollup": _SRCQ_SQL,
     "pack_sequences": _PACK_SQL,
+    "boilerplate_strip": _BP_SQL,
 }

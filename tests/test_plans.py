@@ -657,3 +657,19 @@ def test_image_batch_buckets_metadata_only_scan(spark):
     assert "bytes" not in scan_schema and "fmt" not in scan_schema
     assert len(re.findall(r"\n\(\d+\) Exchange", p)) == 1
     assert "CartesianProduct" not in p
+
+
+def test_boilerplate_strip_one_exchange_no_udf(spark):
+    """Boilerplate stripping's 100 TB contract: page assembly + per-line
+    features are a pure map (posexplode of a transform), the lag/lead
+    smoothing and the ordered re-assembly share ONE hash exchange on
+    doc_id, and nothing drops to a Python UDF."""
+    import re
+
+    from grabspark.ops.textstats import boilerplate_strip
+
+    p = plan(boilerplate_strip(spark, SF))
+    assert len(re.findall(r"\n\(\d+\) Exchange", p)) == 1
+    assert "Window" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
