@@ -281,6 +281,7 @@ _BEYOND_GATE = (
     "pack_sequences",
     "image_batch_buckets",
     "boilerplate_strip",
+    "crawl_tiers",
 )
 
 

@@ -74,6 +74,7 @@ HEADLINE = [
     "event_window_agg",
     "sessionize_events",
     "pagerank_hosts",
+    "crawl_tiers",
     "corpus_curation",
     "ngram_counts",
     "oov_rate",

@@ -287,12 +287,106 @@ SELECT img_id, neighbor, hamming, CAST(rk AS INT) AS rk FROM (
 """
 
 
+# --- crawl_tiers ---------------------------------------------------------------
+#
+# The tiered-crawl scheduler head: hosts are split into crawl TIERS by
+# link-graph rank (tier 1 re-crawled most often), and each tier's
+# per-round fetch budget is divided among its hosts PROPORTIONALLY TO
+# RANK with largest-remainder rounding — budgets are integers that sum
+# exactly to the tier budget, so the round never over- or under-commits.
+# Composes pagerank_hosts (the rank signal) with the mixture_weights
+# allocation idiom; the FIFO reference has no prioritization at all
+# (/root/reference/functions/main_functions.go:34-76).
+#
+# 100 TB shape: everything after PageRank runs on the HOST-level frame —
+# node-sized, not corpus-sized — where single-partition windows are
+# metadata-scale by construction (same argument as mixture_weights).
+
+_TIER_BUDGETS = (6000, 3000, 1000)  # per-round fetches for tiers 1..3
+
+
+def crawl_tiers(spark: SparkSession, sf: str) -> DataFrame:
+    """(host, rank_ppm, tier, host_budget): NTILE(3) rank tiers and
+    exact integer per-host budgets via largest remainder within tier."""
+    r = pagerank_hosts(spark, sf).select("host", "rank_ppm")
+    t = r.withColumn(
+        "tier",
+        F.ntile(3).over(Window.orderBy(F.desc("rank_ppm"), F.asc("host"))).cast("int"),
+    ).withColumn(
+        "tier_budget",
+        F.expr(
+            f"CAST(CASE tier WHEN 1 THEN {_TIER_BUDGETS[0]} "
+            f"WHEN 2 THEN {_TIER_BUDGETS[1]} ELSE {_TIER_BUDGETS[2]} END AS BIGINT)"
+        ),
+    )
+    wt = Window.partitionBy("tier")
+    t = (
+        t.withColumn("denom", F.sum("rank_ppm").over(wt))
+        .withColumn("base", F.expr("tier_budget * rank_ppm DIV denom"))
+        .withColumn("leftover", F.col("tier_budget") - F.sum("base").over(wt))
+        .withColumn(
+            "rem_rank",
+            F.row_number().over(
+                wt.orderBy(
+                    F.desc(F.expr("tier_budget * rank_ppm % denom")), F.asc("host")
+                )
+            ),
+        )
+    )
+    return t.select(
+        "host",
+        "rank_ppm",
+        "tier",
+        (
+            F.col("base") + (F.col("rem_rank") <= F.col("leftover")).cast("long")
+        ).alias("host_budget"),
+    )
+
+
+def _crawl_tiers_sql() -> str:
+    return f"""
+WITH pr AS (SELECT host, rank_ppm FROM ({_pagerank_sql()})),
+tiers AS (
+  SELECT host, rank_ppm,
+         CAST(ntile(3) OVER (ORDER BY rank_ppm DESC, host) AS INT) AS tier
+  FROM pr
+),
+tb AS (
+  SELECT host, rank_ppm, tier,
+         CAST(CASE tier WHEN 1 THEN {_TIER_BUDGETS[0]}
+              WHEN 2 THEN {_TIER_BUDGETS[1]}
+              ELSE {_TIER_BUDGETS[2]} END AS BIGINT) AS tier_budget
+  FROM tiers
+),
+alloc AS (
+  SELECT host, rank_ppm, tier, tier_budget,
+         sum(rank_ppm) OVER (PARTITION BY tier) AS denom,
+         tier_budget * rank_ppm // sum(rank_ppm) OVER (PARTITION BY tier) AS base
+  FROM tb
+),
+ranked AS (
+  SELECT host, rank_ppm, tier, base,
+         tier_budget - sum(base) OVER (PARTITION BY tier) AS leftover,
+         row_number() OVER (PARTITION BY tier
+                            ORDER BY tier_budget * rank_ppm % denom DESC, host)
+           AS rem_rank
+  FROM alloc
+)
+SELECT host, rank_ppm, tier,
+       CAST(base + (CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END) AS BIGINT)
+         AS host_budget
+FROM ranked
+"""
+
+
 QUERIES = {
     "pagerank_hosts": pagerank_hosts,
     "phash_knn": phash_knn,
+    "crawl_tiers": crawl_tiers,
 }
 
 ORACLES = {
     "pagerank_hosts": _pagerank_sql(),
     "phash_knn": _KNN_SQL,
+    "crawl_tiers": _crawl_tiers_sql(),
 }
