@@ -282,6 +282,7 @@ _BEYOND_GATE = (
     "image_batch_buckets",
     "boilerplate_strip",
     "crawl_tiers",
+    "frontier_cardinality_sketch",
 )
 
 

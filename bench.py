@@ -88,6 +88,7 @@ HEADLINE = [
     "anchor_text_topk",
     "pack_sequences",
     "boilerplate_strip",
+    "frontier_cardinality_sketch",
     "audio_features",
     "video_frame_sample",
     "image_features",

@@ -1376,6 +1376,57 @@ WHERE rank <= {_ANCHOR_TOP_K}
 """
 
 
+# --- frontier cardinality sketch audit ------------------------------------------
+#
+# Sizing the seen filter is the 10^10-frontier design decision this
+# engine already makes from a KEY COUNT (bloom.py sizes by n_keys and
+# bypasses when saturated); at scale that count comes from a SKETCH, not
+# an exact distinct (HyperLogLog++ = one pass, constant memory,
+# mergeable across executors — Spark's approx_count_distinct).  This op
+# audits the sketch against the exact per-host distinct count and
+# grades the INVARIANT (relative error within 5% at rsd=0.02), not the
+# engine-specific estimate — DuckDB's HLL would never hash-match
+# Spark's, but the bound must hold in any correct implementation.
+#
+# 100 TB shape: both counts are one partial-agg groupBy(host); the
+# sketch side is the one that survives at scale (HLL partials merge
+# map-side; exact distinct re-shuffles the key space and exists here
+# only as the audit's ground truth).
+
+_SKETCH_RSD = 0.02
+_SKETCH_TOL_BP = 500  # graded bound: |approx - exact| <= 5% of exact
+
+
+def frontier_cardinality_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """(host, n_exact, within_5pct) — HLL++ distinct-URL estimate per
+    frontier host audited against the exact count."""
+    o = T(spark, sf, "orders")
+    u = o.select(
+        F.expr("concat('h', CAST(o_orderkey % 7 AS STRING), '.test')").alias("host"),
+        F.expr(_URL_BUILD).alias("url"),
+    )
+    per = u.groupBy("host").agg(
+        F.countDistinct("url").alias("n_exact"),
+        F.approx_count_distinct("url", rsd=_SKETCH_RSD).alias("n_approx"),
+    )
+    return per.select(
+        "host",
+        "n_exact",
+        F.expr(
+            f"abs(n_approx - n_exact) * 10000 <= n_exact * {_SKETCH_TOL_BP}"
+        ).alias("within_5pct"),
+    )
+
+
+_SKETCH_SQL = f"""
+SELECT concat('h', CAST(o_orderkey % 7 AS VARCHAR), '.test') AS host,
+       count(DISTINCT {_URL_BUILD_DUCK}) AS n_exact,
+       true AS within_5pct
+FROM orders
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1404,6 +1455,7 @@ QUERIES = {
     "sessionize_events": sessionize_events,
     "redirect_resolution": redirect_resolution,
     "anchor_text_topk": anchor_text_topk,
+    "frontier_cardinality_sketch": frontier_cardinality_sketch,
 }
 
 ORACLES = {
@@ -1434,4 +1486,5 @@ ORACLES = {
     "sessionize_events": _SESSIONIZE_SQL,
     "redirect_resolution": _REDIR_SQL,
     "anchor_text_topk": _ANCHOR_SQL,
+    "frontier_cardinality_sketch": _SKETCH_SQL,
 }
