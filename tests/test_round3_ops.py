@@ -1,0 +1,104 @@
+"""Invariant tests for the round-3 session ops, independent of the
+DuckDB oracles: each re-derives the operator's contract in plain python
+from the collected output (different mechanism than the gate's
+value-hash compare)."""
+
+import os
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_redirect_fixture_exercises_multihop_and_terminates(spark):
+    """The synthesized redirect set must contain real CHAINS (else the
+    pointer doubling is untested) and every resolution must land on a
+    non-source URL (terminal)."""
+    from grabspark.ops.relational import redirect_resolution, _REDIR_URL
+
+    rows = redirect_resolution(spark, SF).collect()
+    assert rows
+    hops = sorted({r["hops"] for r in rows})
+    assert hops[0] == 1 and hops[-1] >= 2, hops  # multi-hop chains exist
+    srcs = {r["url"] for r in rows}
+    for r in rows:
+        assert r["final_url"] not in srcs, r  # terminal, never a source
+
+
+def test_pack_sequences_matches_sequential_simulation(spark):
+    """The closed-form window assignment must equal a literal
+    concat-and-chop simulation (walk docs in order, carry a token
+    cursor) — the semantics, re-derived without window functions."""
+    from grabspark.ops.textstats import pack_sequences, _PACK_BUDGET
+
+    rows = pack_sequences(spark, SF).collect()
+    by_shard: dict[tuple, list] = {}
+    for r in rows:
+        by_shard.setdefault((r["lang"], r["shard"]), []).append(r)
+    assert by_shard
+    for members in by_shard.values():
+        members.sort(key=lambda r: r["doc_id"])
+        cursor = 0
+        for r in members:
+            assert r["seq_id"] == cursor // _PACK_BUDGET, r
+            assert r["start_off"] == cursor % _PACK_BUDGET, r
+            end = cursor + r["tok"] - 1
+            assert r["straddles"] == (
+                r["tok"] > 0 and end // _PACK_BUDGET > cursor // _PACK_BUDGET
+            ), r
+            cursor += r["tok"]
+
+
+def test_boilerplate_page_edges_always_dropped(spark):
+    """Nav header and footer are short page-EDGE lines: smoothing can
+    never rescue them (one neighbor is always missing), so every doc
+    must drop at least both — and keep at least one content line when
+    the body has a full line."""
+    from grabspark.ops.textstats import boilerplate_strip
+
+    rows = boilerplate_strip(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_kept"] <= r["n_lines"] - 2, r
+        if r["n_lines"] >= 5:  # nav + first body + RELATED + body + footer
+            assert r["n_kept"] >= 1, r
+
+
+def test_crawl_tiers_budgets_exact_and_proportional(spark):
+    """Largest remainder contract: per-tier budgets sum EXACTLY to the
+    tier budget and every host is within 1 fetch of its real-valued
+    proportional share."""
+    from grabspark.ops.crawlgraph import crawl_tiers, _TIER_BUDGETS
+
+    rows = crawl_tiers(spark, SF).collect()
+    tiers: dict[int, list] = {}
+    for r in rows:
+        tiers.setdefault(r["tier"], []).append(r)
+    assert set(tiers) == {1, 2, 3}
+    for t, members in tiers.items():
+        budget = _TIER_BUDGETS[t - 1]
+        assert sum(r["host_budget"] for r in members) == budget
+        denom = sum(r["rank_ppm"] for r in members)
+        for r in members:
+            ideal = budget * r["rank_ppm"] / denom
+            assert abs(r["host_budget"] - ideal) < 1.0, (r, ideal)
+
+
+def test_image_batch_buckets_partition_of_corpus(spark):
+    """Every image lands in exactly one (bucket, batch, position) slot;
+    positions within a batch are a contiguous 0..k prefix; complete
+    batches have exactly _BATCH_B members."""
+    from grabspark.ops.images import image_batch_buckets, _BATCH_B
+
+    rows = image_batch_buckets(spark, SF).collect()
+    assert len({r["image_id"] for r in rows}) == len(rows)
+    batches: dict[tuple, list] = {}
+    for r in rows:
+        batches.setdefault((r["ar_bucket"], r["res_tier"], r["batch_idx"]), []).append(r)
+    for key, members in batches.items():
+        poss = sorted(r["pos_in_batch"] for r in members)
+        assert poss == list(range(len(members))), key
+        flags = {r["complete"] for r in members}
+        assert len(flags) == 1, key  # whole batch agrees
+        if flags.pop():
+            assert len(members) == _BATCH_B, key
+        else:
+            assert len(members) < _BATCH_B, key
