@@ -283,6 +283,7 @@ _BEYOND_GATE = (
     "boilerplate_strip",
     "crawl_tiers",
     "frontier_cardinality_sketch",
+    "multimodal_curation",
 )
 
 

@@ -97,6 +97,7 @@ HEADLINE = [
     "image_phash_near_dup",
     "image_caption_dedup",
     "image_batch_buckets",
+    "multimodal_curation",
     "phash_knn",
 ]
 

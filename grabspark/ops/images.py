@@ -675,6 +675,111 @@ def image_cluster_reps(spark: SparkSession, sf: str) -> DataFrame:
     return out
 
 
+# --- composed multimodal curation ----------------------------------------------
+#
+# The full LAION-style keep/drop decision over image+caption PAIRS —
+# the end-to-end policy a multimodal training corpus actually ships:
+# every pair gets ONE disposition by priority:
+#
+#   short_caption  ws tokens < 3 (caption too thin to supervise)
+#   misaligned     caption/image sign-embedding dot < 0 (CLIP-filter
+#                  stand-in, same exact math as caption_alignment)
+#   dup_image      a LOWER image_id within pHash hamming <= HAM_MAX
+#   dup_caption    a LOWER image_id with the identical cleaned caption
+#   kept
+#
+# "Lower id exists" rules are order-free (vs the FULL corpus, the same
+# convention image_curation documents), so no sequential greedy state.
+#
+# 100 TB shape: caption stats + alignment votes are one explode + ONE
+# partial-agg groupBy (the caption_alignment shape); dup_image is the
+# banded int64 equi-join (never all-pairs); dup_caption is a min-over-
+# caption-key window; the final disposition is a map-side CASE.  Graded
+# against a committed golden from all-pairs / dict-group / bit-loop
+# python — every stage a different algorithm.
+
+_MMC_MIN_WS_TOKS = 3
+
+
+def multimodal_curation(spark: SparkSession, sf: str) -> DataFrame:
+    """(image_id, disposition) for every image+caption pair."""
+    from .dedup import _NIB_SPARK
+
+    base = _joint_corpus_df(spark)
+    feat = base.select(
+        "image_id",
+        "phash",
+        F.expr("size(filter(split(caption, '\\\\s+'), x -> x != ''))").alias("ws_toks"),
+        F.expr(_CAP_CLEAN).alias("cap_md5"),
+    ).persist()
+
+    # alignment score (caption_alignment's exact vote/pack math)
+    tok = (
+        base.select("image_id", "phash", F.explode(F.expr(_CAPTOK)).alias("tok"))
+        .withColumn("h", F.md5(F.col("tok")))
+        .withColumn("nib", F.expr(_NIB_SPARK))
+    )
+    votes = [
+        F.sum(F.expr(f"(shiftright(nib[{j // 4}], {j % 4}) & 1) * 2 - 1")).alias(f"v{j}")
+        for j in range(64)
+    ]
+    pack = " | ".join(f"shiftleft(CAST(v{j} >= 0 AS LONG), {j})" for j in range(64))
+    scored = (
+        tok.groupBy("image_id", "phash")
+        .agg(*votes)
+        .select(
+            "image_id",
+            F.expr(f"CAST(64 - 2 * bit_count(phash ^ ({pack})) AS INT)").alias("score"),
+        )
+    )
+
+    # dup_image: banded pHash candidates, exact hamming verify, flag HIGHER id
+    banded = feat.select(
+        "image_id",
+        "phash",
+        F.posexplode(
+            F.array(*[
+                (F.shiftright("phash", b * _BAND_BITS).bitwiseAND(F.lit(0xFFFF)))
+                for b in range(_BANDS)
+            ])
+        ).alias("band", "bucket"),
+    )
+    a, b2 = banded.alias("a"), banded.alias("b")
+    dup_img = (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.image_id") < F.col("b.image_id")),
+        )
+        .filter(F.expr(f"bit_count(a.phash ^ b.phash) <= {HAM_MAX}"))
+        .select(F.col("b.image_id").alias("image_id"))
+        .distinct()
+        .withColumn("dup_img", F.lit(True))
+    )
+
+    from pyspark.sql import Window
+
+    wcap = Window.partitionBy("cap_md5")
+    flagged = (
+        feat.withColumn("first_cap", F.min("image_id").over(wcap))
+        .join(scored, "image_id", "left")
+        .join(dup_img, "image_id", "left")
+    )
+    return flagged.select(
+        "image_id",
+        F.expr(
+            f"""CASE
+  WHEN ws_toks < {_MMC_MIN_WS_TOKS} THEN 'short_caption'
+  WHEN coalesce(score, 0) < 0 THEN 'misaligned'
+  WHEN coalesce(dup_img, false) THEN 'dup_image'
+  WHEN image_id != first_cap THEN 'dup_caption'
+  ELSE 'kept'
+END"""
+        ).alias("disposition"),
+    )
+
+
 # --- aspect-ratio bucketed training batches -----------------------------------
 #
 # Multimodal training can't square-crop everything (it destroys
@@ -747,6 +852,7 @@ QUERIES = {
     "caption_alignment": caption_alignment,
     "image_cluster_reps": image_cluster_reps,
     "image_batch_buckets": image_batch_buckets,
+    "multimodal_curation": multimodal_curation,
 }
 
 ORACLES = {
@@ -773,5 +879,8 @@ ORACLES = {
     ),
     "image_batch_buckets": (
         f"SELECT * FROM read_parquet('{os.path.join(_GOLDEN, 'image_batch_buckets.parquet')}')"
+    ),
+    "multimodal_curation": (
+        f"SELECT * FROM read_parquet('{os.path.join(_GOLDEN, 'multimodal_curation.parquet')}')"
     ),
 }

@@ -457,6 +457,69 @@ def build_caption_alignment_golden() -> pd.DataFrame:
     return out
 
 
+
+def build_multimodal_curation_golden() -> pd.DataFrame:
+    """INDEPENDENT multimodal-curation golden: ws-token counts via
+    str.split, caption groups via a dict keyed on a regex-cleaned
+    string, alignment via the explicit md5-nibble vote loop, dup_image
+    via ALL-PAIRS hamming — every stage a different algorithm than the
+    Spark pipeline (no banding, no windows, no packed aggregates)."""
+    import hashlib
+    import re
+
+    from grabspark.ops import images as im
+
+    pdf = im.build_joint_corpus()
+    mask = (1 << 64) - 1
+    recs = list(pdf.itertuples(index=False))
+
+    def align(caption, phash):
+        toks = [t for t in re.split(r"[^a-z0-9]+", caption.lower()) if t]
+        votes = [0] * 64
+        for t in toks:
+            hx = hashlib.md5(t.encode()).hexdigest()
+            for j in range(64):
+                bit = (int(hx[j // 4], 16) >> (j % 4)) & 1
+                votes[j] += 1 if bit else -1
+        sig = 0
+        for j in range(64):
+            if votes[j] >= 0:
+                sig |= 1 << j
+        return 64 - 2 * bin((int(phash) ^ sig) & mask).count("1")
+
+    dup_img = set()
+    for i in range(len(recs)):
+        for j in range(len(recs)):
+            if i == j:
+                continue
+            if recs[j].image_id < recs[i].image_id and bin(
+                (int(recs[i].phash) ^ int(recs[j].phash)) & mask
+            ).count("1") <= im.HAM_MAX:
+                dup_img.add(recs[i].image_id)
+                break
+    first_cap: dict[str, str] = {}
+    for r in recs:
+        key = re.sub(r"\s+", " ", r.caption).strip()
+        if key not in first_cap or r.image_id < first_cap[key]:
+            first_cap[key] = r.image_id
+    rows = []
+    for r in recs:
+        ws = len(r.caption.split())
+        key = re.sub(r"\s+", " ", r.caption).strip()
+        if ws < im._MMC_MIN_WS_TOKS:
+            d = "short_caption"
+        elif align(r.caption, r.phash) < 0:
+            d = "misaligned"
+        elif r.image_id in dup_img:
+            d = "dup_image"
+        elif first_cap[key] != r.image_id:
+            d = "dup_caption"
+        else:
+            d = "kept"
+        rows.append((r.image_id, d))
+    return pd.DataFrame(rows, columns=["image_id", "disposition"])
+
+
 def main(sf_dirs: list[str]) -> None:
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     for sf_dir in sf_dirs:
@@ -476,6 +539,7 @@ def main(sf_dirs: list[str]) -> None:
         ("caption_alignment", build_caption_alignment_golden),
         ("image_cluster_reps", build_image_cluster_reps_golden),
         ("image_batch_buckets", build_image_batch_buckets_golden),
+        ("multimodal_curation", build_multimodal_curation_golden),
     ):
         pdf = builder()
         out = os.path.join(GOLDEN_DIR, f"{name}.parquet")

@@ -673,3 +673,15 @@ def test_boilerplate_strip_one_exchange_no_udf(spark):
     assert "Window" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "CartesianProduct" not in p
+
+
+def test_multimodal_curation_banded_no_cartesian(spark):
+    """Multimodal curation's 100 TB contract: dup-image candidates come
+    from the banded int64 equi-join (never a cartesian), alignment votes
+    are ONE partial aggregate, and the disposition is a map-side CASE."""
+    from grabspark.ops import images
+
+    p = plan(images.multimodal_curation(spark, SF))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "partial_" in p.lower()
+    assert "Window" in p

@@ -102,3 +102,19 @@ def test_image_batch_buckets_partition_of_corpus(spark):
             assert len(members) == _BATCH_B, key
         else:
             assert len(members) < _BATCH_B, key
+
+
+def test_multimodal_curation_priority_and_coverage(spark):
+    """Every pair gets exactly one disposition; all five classes are
+    populated at fixture scale (else a rule is dead code); kept pairs
+    are a strict subset of the corpus."""
+    from grabspark.ops.images import multimodal_curation, build_joint_corpus
+
+    rows = multimodal_curation(spark, SF).collect()
+    corpus = build_joint_corpus()
+    assert len(rows) == len(corpus)
+    assert len({r["image_id"] for r in rows}) == len(rows)
+    classes = {r["disposition"] for r in rows}
+    assert classes == {
+        "kept", "short_caption", "misaligned", "dup_image", "dup_caption"
+    }, classes
