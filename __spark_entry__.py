@@ -284,6 +284,8 @@ _BEYOND_GATE = (
     "crawl_tiers",
     "frontier_cardinality_sketch",
     "multimodal_curation",
+    "rendezvous_shard",
+    "latency_quantile_sketch",
 )
 
 

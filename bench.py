@@ -89,6 +89,8 @@ HEADLINE = [
     "pack_sequences",
     "boilerplate_strip",
     "frontier_cardinality_sketch",
+    "rendezvous_shard",
+    "latency_quantile_sketch",
     "audio_features",
     "video_frame_sample",
     "image_features",

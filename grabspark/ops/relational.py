@@ -1427,6 +1427,129 @@ GROUP BY 1
 """
 
 
+# --- rendezvous frontier sharding ------------------------------------------------
+#
+# How a 10^10 frontier maps hosts onto executors/shards without a
+# central table: RENDEZVOUS (highest-random-weight) hashing — every
+# host picks the shard with the max hash(host, shard) weight (Thaler &
+# Ravishankar 1998, public).  Its defining property is MINIMAL
+# RESHARDING: growing the pool N -> N+1 moves a host ONLY to the new
+# shard (an old shard can never overtake another old shard for the same
+# host, since neither weight changed).  The op computes both
+# assignments and the move flag; the property itself is pinned by a
+# pytest invariant and implicitly by the oracle (moved => new shard).
+#
+# 100 TB shape: a per-row transform over the host list (explode of a
+# SHARD-count literal array + one partial max-struct aggregate per
+# host) — no join, no global state; exactly what each executor can
+# compute locally to route its own output.
+
+_RDV_SHARDS = 8
+
+
+def rendezvous_shard(spark: SparkSession, sf: str) -> DataFrame:
+    """(host, shard, shard_scaled, moved): rendezvous assignment at
+    _RDV_SHARDS and _RDV_SHARDS+1 shards with the move flag."""
+    c = T(spark, sf, "customer")
+    hosts = c.select(
+        F.expr("concat('n', CAST(c_custkey % 97 AS STRING), '.test')").alias("host")
+    ).distinct()
+    n1 = _RDV_SHARDS + 1
+    weighted = hosts.select(
+        "host",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {n1 - 1}), "
+                f"s -> md5(concat(host, ':', CAST(s AS STRING))))"
+            )
+        ).alias("s", "w"),
+    )
+    agg = weighted.groupBy("host").agg(
+        F.max(F.expr(f"CASE WHEN s < {_RDV_SHARDS} THEN struct(w, s) END")).alias("a8"),
+        F.max(F.expr("struct(w, s)")).alias("a9"),
+    )
+    return agg.select(
+        "host",
+        F.col("a8.s").alias("shard"),
+        F.col("a9.s").alias("shard_scaled"),
+        (F.col("a8.s") != F.col("a9.s")).alias("moved"),
+    )
+
+
+_RDV_SQL = f"""
+WITH hosts AS (
+  SELECT DISTINCT concat('n', CAST(c_custkey % 97 AS VARCHAR), '.test') AS host
+  FROM customer
+),
+weighted AS (
+  SELECT host, s, md5(concat(host, ':', CAST(s AS VARCHAR))) AS w
+  FROM hosts, LATERAL (
+    SELECT unnest(generate_series(0, {_RDV_SHARDS})) AS s
+  ) u
+),
+agg AS (
+  SELECT host,
+         CAST(max_by(s, w) FILTER (WHERE s < {_RDV_SHARDS}) AS INT) AS shard,
+         CAST(max_by(s, w) AS INT) AS shard_scaled
+  FROM weighted GROUP BY host
+)
+SELECT host, shard, shard_scaled, shard != shard_scaled AS moved
+FROM agg
+"""
+
+
+# --- latency quantile sketch audit -----------------------------------------------
+#
+# The politeness scheduler tunes per-host crawl delays from RESPONSE
+# LATENCY PERCENTILES; at corpus scale those come from a mergeable
+# quantile sketch (Spark's approx_percentile — Greenwald-Khanna), not a
+# per-host sort.  Like frontier_cardinality_sketch, this audits the
+# sketch against the exact interpolated percentile and grades the
+# BOUND (within 2% of the latency range at accuracy=100) — the exact
+# values also ship and must match the oracle's quantile_cont (both
+# engines use the (n-1)p linear-interpolation definition).
+
+_LAT_EXPR = "(o_orderkey * 2654435761) % 1000"
+_LAT_TOL = 20  # graded bound: |approx - exact| <= 20 ms of the 0..999 range
+
+
+def latency_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """(host, n, p50_exact, p95_exact, p50_ok, p95_ok) — per-host
+    latency percentiles: exact + sketch-within-bound booleans."""
+    o = T(spark, sf, "orders")
+    lat = o.select(
+        F.expr("concat('h', CAST(o_orderkey % 7 AS STRING), '.test')").alias("host"),
+        F.expr(f"CAST({_LAT_EXPR} AS BIGINT)").alias("lat"),
+    )
+    per = lat.groupBy("host").agg(
+        F.count("*").alias("n"),
+        F.expr("percentile(lat, 0.5)").alias("p50_exact"),
+        F.expr("percentile(lat, 0.95)").alias("p95_exact"),
+        F.expr("approx_percentile(lat, 0.5, 100)").alias("p50_approx"),
+        F.expr("approx_percentile(lat, 0.95, 100)").alias("p95_approx"),
+    )
+    return per.select(
+        "host",
+        "n",
+        "p50_exact",
+        "p95_exact",
+        F.expr(f"abs(p50_approx - p50_exact) <= {_LAT_TOL}").alias("p50_ok"),
+        F.expr(f"abs(p95_approx - p95_exact) <= {_LAT_TOL}").alias("p95_ok"),
+    )
+
+
+_LATQ_SQL = f"""
+SELECT concat('h', CAST(o_orderkey % 7 AS VARCHAR), '.test') AS host,
+       count(*) AS n,
+       quantile_cont(CAST({_LAT_EXPR} AS BIGINT), 0.5) AS p50_exact,
+       quantile_cont(CAST({_LAT_EXPR} AS BIGINT), 0.95) AS p95_exact,
+       true AS p50_ok,
+       true AS p95_ok
+FROM orders
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1456,6 +1579,8 @@ QUERIES = {
     "redirect_resolution": redirect_resolution,
     "anchor_text_topk": anchor_text_topk,
     "frontier_cardinality_sketch": frontier_cardinality_sketch,
+    "rendezvous_shard": rendezvous_shard,
+    "latency_quantile_sketch": latency_quantile_sketch,
 }
 
 ORACLES = {
@@ -1487,4 +1612,6 @@ ORACLES = {
     "redirect_resolution": _REDIR_SQL,
     "anchor_text_topk": _ANCHOR_SQL,
     "frontier_cardinality_sketch": _SKETCH_SQL,
+    "rendezvous_shard": _RDV_SQL,
+    "latency_quantile_sketch": _LATQ_SQL,
 }

@@ -118,3 +118,18 @@ def test_multimodal_curation_priority_and_coverage(spark):
     assert classes == {
         "kept", "short_caption", "misaligned", "dup_image", "dup_caption"
     }, classes
+
+
+def test_rendezvous_minimal_resharding(spark):
+    """Rendezvous hashing's defining property: growing the pool N -> N+1
+    moves hosts ONLY to the new shard (no old shard can overtake another
+    old shard — neither weight changed), and the moved fraction is
+    near 1/(N+1)."""
+    from grabspark.ops.relational import rendezvous_shard, _RDV_SHARDS
+
+    rows = rendezvous_shard(spark, SF).collect()
+    moved = [r for r in rows if r["moved"]]
+    assert moved, "scaling must move someone"
+    assert all(r["shard_scaled"] == _RDV_SHARDS for r in moved)
+    frac = len(moved) / len(rows)
+    assert 0.02 <= frac <= 0.30, frac  # ~1/9 expected, loose band
