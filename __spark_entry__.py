@@ -286,6 +286,7 @@ _BEYOND_GATE = (
     "multimodal_curation",
     "rendezvous_shard",
     "latency_quantile_sketch",
+    "store_integrity_digest",
 )
 
 

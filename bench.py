@@ -91,6 +91,7 @@ HEADLINE = [
     "frontier_cardinality_sketch",
     "rendezvous_shard",
     "latency_quantile_sketch",
+    "store_integrity_digest",
     "audio_features",
     "video_frame_sample",
     "image_features",

@@ -1550,6 +1550,65 @@ GROUP BY 1
 """
 
 
+# --- store integrity digest -------------------------------------------------------
+#
+# Cheap whole-store verification after upsert/compaction/replication:
+# an ORDER-FREE per-bucket digest (bit_xor of a 60-bit md5 prefix per
+# row + row count).  XOR is commutative/associative, so the digest is
+# independent of file layout and aggregation order — two stores match
+# iff every (bucket, n_rows, digest) row matches, no matter how their
+# files are split.  This is the Merkle-leaf level of a store audit; the
+# snapshots layer's compaction (snapshots.py:292) is exactly the
+# operation whose no-op-ness this certifies.
+#
+# 100 TB shape: one partial-agg groupBy(bucket) — map-side xor partials
+# collapse each partition to 64 rows before the shuffle; no sort, no
+# join, no ordered agg anywhere.
+
+_DIGEST_BUCKETS = 64
+# 15 hex chars = 60 bits: fits bigint in both engines with no sign games
+_DIGEST_SPARK = "CAST(conv(substring(md5(url), 1, 15), 16, 10) AS BIGINT)"
+_DIGEST_DUCK = (
+    "CAST(('0x' || substring(md5(url), 1, 15)) AS BIGINT)"
+)
+
+
+def store_integrity_digest(spark: SparkSession, sf: str) -> DataFrame:
+    """(bucket, n_rows, digest): order-free xor digest of the store's
+    URL rows per bucket.
+
+    The bucket key is an md5-prefix mod (engine-portable — a production
+    deployment would use the table's own bucket column, e.g. the seen
+    table's pmod(hash(url_canon), 64), where the digest certifies
+    compaction did not lose or duplicate a row)."""
+    o = T(spark, sf, "orders")
+    u = o.select(F.expr(_URL_BUILD).alias("url"))
+    return (
+        u.select(
+            F.expr(
+                f"CAST(conv(substring(md5(url), 16, 2), 16, 10) AS INT) % {_DIGEST_BUCKETS}"
+            ).alias("bucket"),
+            F.expr(_DIGEST_SPARK).alias("h"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.expr("bit_xor(h)").alias("digest"),
+        )
+    )
+
+
+_DIGEST_SQL = f"""
+WITH u AS (SELECT {_URL_BUILD_DUCK} AS url FROM orders)
+SELECT CAST(CAST(('0x' || substring(md5(url), 16, 2)) AS BIGINT) % {_DIGEST_BUCKETS} AS INT)
+         AS bucket,
+       count(*) AS n_rows,
+       bit_xor({_DIGEST_DUCK}) AS digest
+FROM u
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1581,6 +1640,7 @@ QUERIES = {
     "frontier_cardinality_sketch": frontier_cardinality_sketch,
     "rendezvous_shard": rendezvous_shard,
     "latency_quantile_sketch": latency_quantile_sketch,
+    "store_integrity_digest": store_integrity_digest,
 }
 
 ORACLES = {
@@ -1614,4 +1674,5 @@ ORACLES = {
     "frontier_cardinality_sketch": _SKETCH_SQL,
     "rendezvous_shard": _RDV_SQL,
     "latency_quantile_sketch": _LATQ_SQL,
+    "store_integrity_digest": _DIGEST_SQL,
 }
