@@ -287,6 +287,8 @@ _BEYOND_GATE = (
     "rendezvous_shard",
     "latency_quantile_sketch",
     "store_integrity_digest",
+    "vocab_coverage",
+    "image_grayscale_detect",
 )
 
 

@@ -78,6 +78,7 @@ HEADLINE = [
     "corpus_curation",
     "ngram_counts",
     "oov_rate",
+    "vocab_coverage",
     "pii_scrub",
     "repetition_signals",
     "decontaminate",
@@ -101,6 +102,7 @@ HEADLINE = [
     "image_caption_dedup",
     "image_batch_buckets",
     "multimodal_curation",
+    "image_grayscale_detect",
     "phash_knn",
 ]
 

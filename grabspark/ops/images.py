@@ -675,6 +675,91 @@ def image_cluster_reps(spark: SparkSession, sf: str) -> DataFrame:
     return out
 
 
+# --- grayscale / colorfulness detection -----------------------------------------
+#
+# Color-based curation signal: grayscale scans, line art, and washed-out
+# thumbnails are down-weighted or dropped by multimodal corpus recipes;
+# the detector is per-image channel statistics (a simplified
+# Hasler-Susstrunk colorfulness: std + mean-offset of the rg / yb
+# opponent channels).  The corpus plants true-gray twins (every
+# GRAY_EVERY-th image re-encoded with R=G=B mean luminance), so the
+# detector must separate two real classes.
+#
+# 100 TB shape: one Arrow decode pass per image, no shuffle (scan ->
+# mapInPandas -> rows); the decision is per-row.  Graded against an
+# independent loop-math golden (explicit per-pixel python arithmetic, no
+# numpy vectorization).
+
+GRAY_EVERY = 4
+_GRAY_SCHEMA = "image_id string, colorfulness double, is_gray boolean"
+_GRAY_THRESH = 4.0
+
+
+def build_color_corpus() -> pd.DataFrame:
+    """Image corpus + '#gray' twins (channel-mean luminance, same codec).
+    Shared by the Spark query and the golden generator."""
+    base = build_image_corpus()
+    rows = []
+    for i, r in enumerate(base.itertuples(index=False)):
+        rows.append(tuple(r))
+        if i % GRAY_EVERY == 0:
+            px = imaging.decode_image(r.bytes, int(r.w), int(r.h), r.fmt)
+            gray = px.astype(np.float64).mean(axis=2)
+            g3 = np.repeat(
+                np.rint(gray).clip(0, 255).astype(np.uint8)[:, :, None], 3, axis=2
+            )
+            rows.append(
+                (r.image_id + "#gray", imaging.encode_image(g3, r.fmt),
+                 int(r.w), int(r.h), r.fmt)
+            )
+    return pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
+
+
+def colorfulness_kernel(px: np.ndarray) -> float:
+    """Simplified Hasler-Susstrunk metric (CIC 2003, public): with
+    rg = R - G and yb = (R + G)/2 - B,
+    colorfulness = sqrt(std_rg^2 + std_yb^2) + 0.3 * sqrt(mean_rg^2 +
+    mean_yb^2), rounded to 4 decimals."""
+    f = px.astype(np.float64)
+    rg = f[:, :, 0] - f[:, :, 1]
+    yb = 0.5 * (f[:, :, 0] + f[:, :, 1]) - f[:, :, 2]
+    c = float(
+        np.sqrt(rg.std() ** 2 + yb.std() ** 2)
+        + 0.3 * np.sqrt(rg.mean() ** 2 + yb.mean() ** 2)
+    )
+    return round(c, 4)
+
+
+def image_grayscale_detect(spark: SparkSession, sf: str) -> DataFrame:
+    """(image_id, colorfulness, is_gray) over the color corpus."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(tempfile.mkdtemp(prefix="grabspark-colorcorpus-"), "c.parquet")
+    pdf0 = build_color_corpus()
+    schema = pa.schema(
+        [("image_id", pa.string()), ("bytes", pa.binary()), ("w", pa.int32()),
+         ("h", pa.int32()), ("fmt", pa.string())]
+    )
+    pq.write_table(pa.Table.from_pandas(pdf0, schema=schema, preserve_index=False), path)
+
+    def kernel(it):
+        for pdf in it:
+            cs = []
+            for r in pdf.itertuples(index=False):
+                px = imaging.decode_image(r.bytes, int(r.w), int(r.h), r.fmt)
+                cs.append(colorfulness_kernel(px))
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"].to_numpy(),
+                    "colorfulness": cs,
+                    "is_gray": [c < _GRAY_THRESH for c in cs],
+                }
+            )
+
+    return spark.read.parquet(path).mapInPandas(kernel, _GRAY_SCHEMA)
+
+
 # --- composed multimodal curation ----------------------------------------------
 #
 # The full LAION-style keep/drop decision over image+caption PAIRS —
@@ -853,6 +938,7 @@ QUERIES = {
     "image_cluster_reps": image_cluster_reps,
     "image_batch_buckets": image_batch_buckets,
     "multimodal_curation": multimodal_curation,
+    "image_grayscale_detect": image_grayscale_detect,
 }
 
 ORACLES = {
@@ -882,5 +968,8 @@ ORACLES = {
     ),
     "multimodal_curation": (
         f"SELECT * FROM read_parquet('{os.path.join(_GOLDEN, 'multimodal_curation.parquet')}')"
+    ),
+    "image_grayscale_detect": (
+        f"SELECT * FROM read_parquet('{os.path.join(_GOLDEN, 'image_grayscale_detect.parquet')}')"
     ),
 }

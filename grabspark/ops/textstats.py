@@ -829,6 +829,82 @@ FROM agg
 """
 
 
+# --- vocabulary coverage curve ---------------------------------------------------
+#
+# Tokenizer sizing: what fraction of corpus tokens does a top-k
+# vocabulary cover?  The curve (k -> coverage) is THE input to choosing
+# vocab size before BPE training (ks are fixture-sized — the synthetic
+# corpus has a ~31-token vocabulary; production ks scale with it) (bpe_merge_candidates mines the
+# merges; this sizes the budget).  Coverage is basis points (integer
+# DIV), so the oracle compare is exact.
+#
+# 100 TB shape: ONE corpus-wide partial-agg groupBy(token) (map-side
+# combine collapses each partition to its local vocab before the
+# shuffle); ranking and the cumulative sums then run on the VOCAB-sized
+# frame where single-partition windows are metadata-scale (same
+# argument as mixture_weights / bpe_merge_candidates).
+
+_VOCAB_KS = (5, 10, 20)
+_WORD_TOKS = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+_WORD_TOKS_DUCK = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+)
+
+
+def vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """(k, vocab_size, covered_bp): corpus-token coverage of the top-k
+    vocabulary (rank by count DESC, token ASC)."""
+    d = T(spark, sf, "documents")
+    counts = (
+        d.select(F.explode(F.expr(_WORD_TOKS)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    wall = Window.partitionBy()
+    ranked = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .withColumn("total", F.sum("n").over(wall))
+        .withColumn("vocab_size", F.count("*").over(wall))
+    )
+    parts = [
+        ranked.groupBy().agg(
+            F.lit(k).cast("int").alias("k"),
+            F.max("vocab_size").alias("vocab_size"),
+            F.expr(f"sum(CASE WHEN rk <= {k} THEN n ELSE 0 END) * 10000 DIV max(total)")
+            .alias("covered_bp"),
+        )
+        for k in _VOCAB_KS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _vocab_sql() -> str:
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS k, max(vocab_size) AS vocab_size, "
+        f"sum(CASE WHEN rk <= {k} THEN n ELSE 0 END) * 10000 // max(total) AS covered_bp "
+        f"FROM ranked"
+        for k in _VOCAB_KS
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest({_WORD_TOKS_DUCK}) AS tok FROM documents
+),
+counts AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+ranked AS (
+  SELECT tok, n,
+         row_number() OVER (ORDER BY n DESC, tok ASC) AS rk,
+         sum(n) OVER () AS total,
+         count(*) OVER () AS vocab_size
+  FROM counts
+)
+{selects}
+"""
+
+
 # --- boilerplate stripping -----------------------------------------------------
 #
 # Main-content extraction (the JusText / boilerpipe / C4 step): crawled
@@ -1049,6 +1125,7 @@ QUERIES = {
     "source_quality_rollup": source_quality_rollup,
     "pack_sequences": pack_sequences,
     "boilerplate_strip": boilerplate_strip,
+    "vocab_coverage": vocab_coverage,
 }
 
 ORACLES = {
@@ -1070,4 +1147,5 @@ ORACLES = {
     "source_quality_rollup": _SRCQ_SQL,
     "pack_sequences": _PACK_SQL,
     "boilerplate_strip": _BP_SQL,
+    "vocab_coverage": _vocab_sql(),
 }

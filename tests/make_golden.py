@@ -458,6 +458,43 @@ def build_caption_alignment_golden() -> pd.DataFrame:
 
 
 
+
+def build_image_grayscale_golden() -> pd.DataFrame:
+    """INDEPENDENT grayscale-detection golden: explicit per-pixel python
+    loops for the opponent-channel sums (no numpy vectorization)."""
+    import math
+
+    from grabspark import imaging
+    from grabspark.ops import images as im
+
+    pdf = im.build_color_corpus()
+    rows = []
+    for r in pdf.itertuples(index=False):
+        px = imaging.decode_image(r.bytes, int(r.w), int(r.h), r.fmt)
+        h, w = px.shape[0], px.shape[1]
+        n = h * w
+        s_rg = s_rg2 = s_yb = s_yb2 = 0.0
+        for y in range(h):
+            for x in range(w):
+                rr, gg, bb = float(px[y, x, 0]), float(px[y, x, 1]), float(px[y, x, 2])
+                rg = rr - gg
+                yb = 0.5 * (rr + gg) - bb
+                s_rg += rg
+                s_rg2 += rg * rg
+                s_yb += yb
+                s_yb2 += yb * yb
+        m_rg, m_yb = s_rg / n, s_yb / n
+        v_rg = s_rg2 / n - m_rg * m_rg
+        v_yb = s_yb2 / n - m_yb * m_yb
+        c = round(
+            math.sqrt(max(v_rg, 0.0) + max(v_yb, 0.0))
+            + 0.3 * math.sqrt(m_rg * m_rg + m_yb * m_yb),
+            4,
+        )
+        rows.append((r.image_id, c, c < im._GRAY_THRESH))
+    return pd.DataFrame(rows, columns=["image_id", "colorfulness", "is_gray"])
+
+
 def build_multimodal_curation_golden() -> pd.DataFrame:
     """INDEPENDENT multimodal-curation golden: ws-token counts via
     str.split, caption groups via a dict keyed on a regex-cleaned
@@ -540,6 +577,7 @@ def main(sf_dirs: list[str]) -> None:
         ("image_cluster_reps", build_image_cluster_reps_golden),
         ("image_batch_buckets", build_image_batch_buckets_golden),
         ("multimodal_curation", build_multimodal_curation_golden),
+        ("image_grayscale_detect", build_image_grayscale_golden),
     ):
         pdf = builder()
         out = os.path.join(GOLDEN_DIR, f"{name}.parquet")

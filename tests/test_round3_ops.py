@@ -133,3 +133,19 @@ def test_rendezvous_minimal_resharding(spark):
     assert all(r["shard_scaled"] == _RDV_SHARDS for r in moved)
     frac = len(moved) / len(rows)
     assert 0.02 <= frac <= 0.30, frac  # ~1/9 expected, loose band
+
+
+def test_grayscale_detector_separates_planted_classes(spark):
+    """Every planted '#gray' twin is detected; no colorful original is
+    misflagged; the two classes are separated by a wide margin."""
+    from grabspark.ops.images import image_grayscale_detect
+
+    rows = image_grayscale_detect(spark, SF).collect()
+    gray = [r for r in rows if r["image_id"].endswith("#gray")]
+    color = [r for r in rows if not r["image_id"].endswith("#gray")]
+    assert gray and color
+    assert all(r["is_gray"] for r in gray)
+    assert not any(r["is_gray"] for r in color)
+    assert max(r["colorfulness"] for r in gray) * 10 < min(
+        r["colorfulness"] for r in color
+    )
