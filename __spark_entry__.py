@@ -289,6 +289,7 @@ _BEYOND_GATE = (
     "store_integrity_digest",
     "vocab_coverage",
     "image_grayscale_detect",
+    "leakage_safe_split",
 )
 
 

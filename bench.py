@@ -83,6 +83,7 @@ HEADLINE = [
     "repetition_signals",
     "decontaminate",
     "stratified_sample",
+    "leakage_safe_split",
     "chunk_documents",
     "sitemap_parse",
     "redirect_resolution",

@@ -944,6 +944,82 @@ GROUP BY doc_id
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split (round 3): the contamination guard a
+# training pipeline runs AFTER near-dup detection — if two near-dup
+# documents land in different splits, eval is contaminated, so the split
+# key is the document's CLUSTER, not the document: every member of a
+# near-dup component hashes to the same split by construction.
+# Singletons (no near-dup edge) hash on their own id.
+#
+# 100 TB shape: components come from the O(log n) star contraction over
+# the (tiny) near-dup edge set; the split itself is a map-side md5 mod —
+# the corpus-sized side never shuffles beyond the left join against the
+# node-sized label frame (broadcast when components << corpus).
+
+_SPLIT_TRAIN_PCT = 90
+_SPLIT_VAL_PCT = 95  # train < 90 <= val < 95 <= test
+
+
+def leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, component, split): hash split on the near-dup component
+    representative so clusters never straddle splits."""
+    d = T(spark, sf, "documents").select("doc_id")
+    pairs = dedup_ngram_jaccard(spark, sf).select("doc_a", "doc_b").localCheckpoint()
+    labels, _ = cc_two_phase(pairs, n_parts=4)
+    full = d.join(
+        labels.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("lab"), F.col("doc_id")).alias("component"),
+    )
+    bucket = (
+        "CAST(conv(substring(md5(CAST(component AS STRING)), 1, 7), 16, 10) AS BIGINT)"
+        " % 100"
+    )
+    return full.select(
+        "doc_id",
+        "component",
+        F.expr(
+            f"CASE WHEN {bucket} < {_SPLIT_TRAIN_PCT} THEN 'train' "
+            f"WHEN {bucket} < {_SPLIT_VAL_PCT} THEN 'val' ELSE 'test' END"
+        ).alias("split"),
+    )
+
+
+_SPLIT_SQL = f"""
+WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a
+),
+allc AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+),
+b AS (
+  SELECT doc_id, component,
+         CAST(('0x' || substring(md5(CAST(component AS VARCHAR)), 1, 7)) AS BIGINT)
+           % 100 AS bk
+  FROM allc
+)
+SELECT doc_id, component,
+       CASE WHEN bk < {_SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN bk < {_SPLIT_VAL_PCT} THEN 'val' ELSE 'test' END AS split
+FROM b
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "ngram_hot_shingles": ngram_hot_shingles,
@@ -956,6 +1032,7 @@ QUERIES = {
     "dedup_components": dedup_components,
     "cluster_representatives": cluster_representatives,
     "decontaminate": decontaminate,
+    "leakage_safe_split": leakage_safe_split,
 }
 
 ORACLES = {
@@ -970,4 +1047,5 @@ ORACLES = {
     "dedup_components": _COMPONENTS_SQL,
     "cluster_representatives": _REPS_SQL,
     "decontaminate": _DECON_SQL,
+    "leakage_safe_split": _SPLIT_SQL,
 }

@@ -149,3 +149,19 @@ def test_grayscale_detector_separates_planted_classes(spark):
     assert max(r["colorfulness"] for r in gray) * 10 < min(
         r["colorfulness"] for r in color
     )
+
+
+def test_leakage_safe_split_cluster_integrity(spark):
+    """No near-dup component straddles splits, and the split fractions
+    are near 90/5/5."""
+    from grabspark.ops.dedup import leakage_safe_split
+
+    rows = leakage_safe_split(spark, SF).collect()
+    by_comp: dict = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_comp.values())
+    assert any(len([r for r in rows if r["component"] == c]) > 1 for c in by_comp)
+    n = len(rows)
+    train = sum(r["split"] == "train" for r in rows)
+    assert 0.8 <= train / n <= 0.97, train / n
