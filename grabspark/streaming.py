@@ -19,6 +19,9 @@ engine exposes its tables as streams:
 * ``stream_validate_images`` — incremental X4/X5 image validation: new
   store parquet files arrive as micro-batches and flow through the SAME
   Arrow validate kernel the batch engine uses (udfs.validate_images).
+* ``seed_dedup_stream`` — native stateful dedup of timestamped seeds
+  (``dropDuplicatesWithinWatermark``): bounded state, watermark-expired
+  keys re-emit by design; the at-scale complement to the inbox anti-join.
 """
 
 from __future__ import annotations
@@ -309,4 +312,33 @@ def seed_inbox_stream(
         seed_stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
+    )
+
+def seed_dedup_stream(seed_stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Native stateful streaming dedup of timestamped seed lines
+    ("<iso-ts>|<url>"): ``dropDuplicatesWithinWatermark`` on the canon
+    key — Spark keeps one state-store entry per key and EXPIRES it once
+    the watermark passes ts + delay, so state is bounded by the
+    watermark window instead of the full URL history.
+
+    This is the at-scale alternative to ``seed_inbox_stream``'s
+    anti-join-vs-inbox (which re-reads the inbox table every batch): the
+    state store is partitioned with the stream, no table scan per
+    micro-batch.  The two compose — within-window spam collapses here,
+    and the inbox anti-join remains the exact long-horizon guard.  A
+    duplicate arriving after its key expired is re-emitted BY DESIGN
+    (semantics pinned in tests/test_streaming.py)."""
+    from . import udfs
+
+    rows = (
+        seed_stream.select(F.trim(F.col("value")).alias("line"))
+        .filter(F.col("line") != "")
+        .select(
+            F.to_timestamp(F.substring_index("line", "|", 1)).alias("ts"),
+            F.substring_index("line", "|", -1).alias("url"),
+        )
+        .withColumn("url_canon", udfs.canon_ref_udf(F.col("url")))
+    )
+    return rows.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["url_canon"]
     )

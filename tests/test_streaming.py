@@ -253,3 +253,69 @@ def test_enqueue_seeds_from_inbox(spark, tmp_path):
         for r in eng.seen_df().select("seed_idx", "url_canon").collect()
     }
     assert seen_got == golden.seen
+
+
+def test_seed_dedup_stream_watermark_semantics(spark, tmp_path):
+    """dropDuplicatesWithinWatermark contract: duplicates inside the
+    watermark window collapse to one emission; after the key's state
+    expires (watermark passed ts + delay), a re-arrival is re-emitted.
+    Files trigger one micro-batch each so the watermark advances
+    between arrivals."""
+    import os
+    import time
+
+    from grabspark.streaming import read_seed_stream, seed_dedup_stream
+
+    seeds_dir = tmp_path / "seeds"
+    seeds_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(name, lines):
+        p = seeds_dir / name
+        tmp = seeds_dir / (name + ".tmp")
+        tmp.write_text("\n".join(lines) + "\n")
+        os.rename(tmp, p)
+
+    # t0 batch: A twice (same canon: trailing slash variant), B once
+    write("f1.txt", [
+        "2024-01-01 00:00:00|http://a.test/x",
+        "2024-01-01 00:00:00|http://a.test/x/",
+        "2024-01-01 00:00:10|http://b.test/y",
+    ])
+
+    stream = seed_dedup_stream(read_seed_stream(spark, str(seeds_dir), max_files=1))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_seeds")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # within-watermark duplicate of A at t0+1min -> dropped; C new
+        write("f2.txt", [
+            "2024-01-01 00:01:00|http://a.test/x",
+            "2024-01-01 00:01:00|http://c.test/z",
+        ])
+        q.processAllAvailable()
+        # t0+60min: watermark (max_ts - 10min) passes A's expiry -> state
+        # evicted -> the same URL is re-emitted
+        write("f3.txt", ["2024-01-01 01:00:00|http://a.test/x"])
+        q.processAllAvailable()
+        write("f4.txt", ["2024-01-01 01:30:00|http://a.test/x"])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [
+        (str(r["ts"]), r["url_canon"])
+        for r in spark.sql("SELECT * FROM dedup_seeds").collect()
+    ]
+    canon_a = "http://a.test/x"
+    emits_a = [g for g in got if g[1] == canon_a]
+    urls = {g[1] for g in got}
+    assert urls == {canon_a, "http://b.test/y", "http://c.test/z"}, got
+    # A: one emission from the first window, one after expiry; the
+    # within-window duplicates (f1 slash variant, f2 re-arrival) dropped
+    assert len(emits_a) == 2, got
+    assert len(got) == 4, got
