@@ -760,6 +760,105 @@ def image_grayscale_detect(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.parquet(path).mapInPandas(kernel, _GRAY_SCHEMA)
 
 
+# --- letterbox / uniform-border detection ---------------------------------------
+#
+# Multimodal prep: letterboxed/pillarboxed images (uniform borders from
+# aspect-ratio padding or scanner margins) should be cropped before
+# training — the border dilutes the visual signal and skews AR
+# bucketing.  The detector measures per-side uniform-border thickness
+# (leading rows/columns where every pixel equals that side's corner
+# pixel) and emits the crop box.  The corpus plants '#box' twins padded
+# with a constant black border of deterministic per-image thickness;
+# PRNG originals have zero-thickness borders with certainty (a uniform
+# row of random pixels does not occur at fixture sizes).
+#
+# 100 TB shape: one Arrow decode pass, per-row decision, no shuffle.
+# Graded against an explicit python loop golden.
+
+BOX_EVERY = 5
+_BOX_SCHEMA = (
+    "image_id string, top int, bottom int, left int, right int, "
+    "crop_w int, crop_h int, has_border boolean"
+)
+
+
+def build_letterbox_corpus() -> pd.DataFrame:
+    """Image corpus + '#box' twins padded with a constant black border
+    (thickness 1..3, deterministic per image).  Shared with the golden."""
+    base = build_image_corpus()
+    rows = []
+    for i, r in enumerate(base.itertuples(index=False)):
+        rows.append(tuple(r))
+        if i % BOX_EVERY == 0:
+            t = (i // BOX_EVERY) % 3 + 1
+            px = imaging.decode_image(r.bytes, int(r.w), int(r.h), r.fmt)
+            h, w = px.shape[0], px.shape[1]
+            padded = np.zeros((h + 2 * t, w + 2 * t, 3), dtype=np.uint8)
+            padded[t : t + h, t : t + w, :] = px
+            rows.append(
+                (r.image_id + "#box", imaging.encode_image(padded, r.fmt),
+                 w + 2 * t, h + 2 * t, r.fmt)
+            )
+    return pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
+
+
+def border_kernel(px: np.ndarray) -> tuple[int, int, int, int]:
+    """(top, bottom, left, right) uniform-border thickness: leading
+    rows/cols where every pixel equals the (0,0) / (h-1,w-1) corner.
+    Each side is capped at half the dimension so a fully-uniform image
+    cannot crop to nothing."""
+    h, w = px.shape[0], px.shape[1]
+
+    def run(seq, corner):
+        n = 0
+        for row in seq:
+            if (row == corner).all():
+                n += 1
+            else:
+                break
+        return n
+
+    top = min(run((px[y] for y in range(h)), px[0, 0]), h // 2)
+    bottom = min(run((px[y] for y in range(h - 1, -1, -1)), px[h - 1, w - 1]), h // 2)
+    left = min(run((px[:, x] for x in range(w)), px[0, 0]), w // 2)
+    right = min(run((px[:, x] for x in range(w - 1, -1, -1)), px[h - 1, w - 1]), w // 2)
+    return top, bottom, left, right
+
+
+def image_letterbox_detect(spark: SparkSession, sf: str) -> DataFrame:
+    """(image_id, top, bottom, left, right, crop_w, crop_h, has_border)
+    over the letterbox corpus."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(tempfile.mkdtemp(prefix="grabspark-boxcorpus-"), "c.parquet")
+    pdf0 = build_letterbox_corpus()
+    schema = pa.schema(
+        [("image_id", pa.string()), ("bytes", pa.binary()), ("w", pa.int32()),
+         ("h", pa.int32()), ("fmt", pa.string())]
+    )
+    pq.write_table(pa.Table.from_pandas(pdf0, schema=schema, preserve_index=False), path)
+
+    def kernel(it):
+        for pdf in it:
+            out = []
+            for r in pdf.itertuples(index=False):
+                px = imaging.decode_image(r.bytes, int(r.w), int(r.h), r.fmt)
+                t, b, l, rr = border_kernel(px)
+                h, w = px.shape[0], px.shape[1]
+                out.append(
+                    (r.image_id, t, b, l, rr, w - l - rr, h - t - b,
+                     (t + b + l + rr) > 0)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["image_id", "top", "bottom", "left", "right",
+                         "crop_w", "crop_h", "has_border"],
+            )
+
+    return spark.read.parquet(path).mapInPandas(kernel, _BOX_SCHEMA)
+
+
 # --- composed multimodal curation ----------------------------------------------
 #
 # The full LAION-style keep/drop decision over image+caption PAIRS —
@@ -939,6 +1038,7 @@ QUERIES = {
     "image_batch_buckets": image_batch_buckets,
     "multimodal_curation": multimodal_curation,
     "image_grayscale_detect": image_grayscale_detect,
+    "image_letterbox_detect": image_letterbox_detect,
 }
 
 ORACLES = {
@@ -971,5 +1071,8 @@ ORACLES = {
     ),
     "image_grayscale_detect": (
         f"SELECT * FROM read_parquet('{os.path.join(_GOLDEN, 'image_grayscale_detect.parquet')}')"
+    ),
+    "image_letterbox_detect": (
+        f"SELECT * FROM read_parquet('{os.path.join(_GOLDEN, 'image_letterbox_detect.parquet')}')"
     ),
 }

@@ -1609,6 +1609,92 @@ GROUP BY 1
 """
 
 
+# --- per-host error-budget circuit breaker ---------------------------------------
+#
+# Crawler health policy: a host answering with a RUN of consecutive
+# failures gets its circuit opened (back off, stop burning budget) —
+# run-length, not failure rate, because a 1%-spread flake is normal
+# while 3 failures in a row means the host is down or blocking us.  The
+# reference's error policy is per-URL only (mark seen, never retry:
+# /root/reference/functions/main_functions.go:50,57-62); the breaker is
+# its host-level aggregate.
+#
+# Run lengths are the classic gaps-and-islands: island id = attempt
+# rank minus rank-among-failures, computed with two windows that share
+# ONE (host)-keyed exchange; the rollup is a partial-agg groupBy.
+
+_CB_THRESHOLD = 4  # consecutive failures that open the circuit
+# iid failure signal, p = 1/4, md5-derived so both engines agree and per-
+# host run lengths VARY (some hosts open, some stay closed at test scale)
+_CB_OK_SPARK = (
+    "CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 2), 16, 10) AS INT)"
+    " % 4 != 0"
+)
+_CB_OK_DUCK = (
+    "CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2)) AS INT)"
+    " % 4 != 0"
+)
+
+
+def host_circuit_breaker(spark: SparkSession, sf: str) -> DataFrame:
+    """(host, n_attempts, n_fail, max_consec_fail, circuit_open) over
+    the synthesized per-host fetch-attempt log."""
+    o = T(spark, sf, "orders")
+    log = o.select(
+        F.expr("concat('h', CAST(o_orderkey % 7 AS STRING), '.test')").alias("host"),
+        F.col("o_orderkey").alias("seq"),
+        F.expr(_CB_OK_SPARK).alias("ok"),
+    )
+    wh = Window.partitionBy("host").orderBy("seq")
+    wf = Window.partitionBy("host", "ok").orderBy("seq")
+    islands = log.withColumn(
+        "island", F.row_number().over(wh) - F.row_number().over(wf)
+    )
+    # one scan, ONE exchange: hashpartitioning(host) from the first window
+    # satisfies the (host, ok) window AND both downstream groupBys, so the
+    # run collapse and the per-host rollup run exchange-free; no join.
+    runs = islands.groupBy("host", "ok", "island").agg(
+        F.count("*").alias("run_len")
+    )
+    return runs.groupBy("host").agg(
+        F.sum("run_len").alias("n_attempts"),
+        F.sum(F.when(~F.col("ok"), F.col("run_len")).otherwise(0)).alias("n_fail"),
+        F.max(F.when(~F.col("ok"), F.col("run_len")).otherwise(0)).alias(
+            "max_consec_fail"
+        ),
+    ).withColumn("circuit_open", F.col("max_consec_fail") >= _CB_THRESHOLD)
+
+
+_CB_SQL = f"""
+WITH log AS (
+  SELECT concat('h', CAST(o_orderkey % 7 AS VARCHAR), '.test') AS host,
+         o_orderkey AS seq,
+         {_CB_OK_DUCK} AS ok
+  FROM orders
+),
+islands AS (
+  SELECT host, seq, ok,
+         row_number() OVER (PARTITION BY host ORDER BY seq)
+           - row_number() OVER (PARTITION BY host, ok ORDER BY seq) AS island
+  FROM log
+),
+runs AS (
+  SELECT host, island, count(*) AS run_len
+  FROM islands WHERE NOT ok GROUP BY host, island
+),
+per_host AS (
+  SELECT host, count(*) AS n_attempts,
+         CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_fail
+  FROM log GROUP BY host
+),
+mr AS (SELECT host, max(run_len) AS max_consec_fail FROM runs GROUP BY host)
+SELECT p.host, p.n_attempts, p.n_fail,
+       coalesce(mr.max_consec_fail, 0) AS max_consec_fail,
+       coalesce(mr.max_consec_fail, 0) >= {_CB_THRESHOLD} AS circuit_open
+FROM per_host p LEFT JOIN mr USING (host)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1641,6 +1727,7 @@ QUERIES = {
     "rendezvous_shard": rendezvous_shard,
     "latency_quantile_sketch": latency_quantile_sketch,
     "store_integrity_digest": store_integrity_digest,
+    "host_circuit_breaker": host_circuit_breaker,
 }
 
 ORACLES = {
@@ -1675,4 +1762,5 @@ ORACLES = {
     "rendezvous_shard": _RDV_SQL,
     "latency_quantile_sketch": _LATQ_SQL,
     "store_integrity_digest": _DIGEST_SQL,
+    "host_circuit_breaker": _CB_SQL,
 }

@@ -495,6 +495,64 @@ def build_image_grayscale_golden() -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["image_id", "colorfulness", "is_gray"])
 
 
+
+def build_image_letterbox_golden() -> pd.DataFrame:
+    """INDEPENDENT letterbox golden: explicit scalar loops per side
+    (no numpy .all() vectorization, no shared kernel)."""
+    from grabspark import imaging
+    from grabspark.ops import images as im
+
+    pdf = im.build_letterbox_corpus()
+    rows = []
+    for r in pdf.itertuples(index=False):
+        px = imaging.decode_image(r.bytes, int(r.w), int(r.h), r.fmt)
+        h, w = px.shape[0], px.shape[1]
+
+        def uniform_row(y, cy, cx):
+            c = (int(px[cy, cx, 0]), int(px[cy, cx, 1]), int(px[cy, cx, 2]))
+            for x in range(w):
+                if (int(px[y, x, 0]), int(px[y, x, 1]), int(px[y, x, 2])) != c:
+                    return False
+            return True
+
+        def uniform_col(x, cy, cx):
+            c = (int(px[cy, cx, 0]), int(px[cy, cx, 1]), int(px[cy, cx, 2]))
+            for y in range(h):
+                if (int(px[y, x, 0]), int(px[y, x, 1]), int(px[y, x, 2])) != c:
+                    return False
+            return True
+
+        top = 0
+        while top < h and uniform_row(top, 0, 0):
+            top += 1
+        top = min(top, h // 2)
+        bottom = 0
+        while bottom < h and uniform_row(h - 1 - bottom, h - 1, w - 1):
+            bottom += 1
+        bottom = min(bottom, h // 2)
+        left = 0
+        while left < w and uniform_col(left, 0, 0):
+            left += 1
+        left = min(left, w // 2)
+        right = 0
+        while right < w and uniform_col(w - 1 - right, h - 1, w - 1):
+            right += 1
+        right = min(right, w // 2)
+        rows.append(
+            (r.image_id, top, bottom, left, right,
+             w - left - right, h - top - bottom,
+             (top + bottom + left + right) > 0)
+        )
+    out = pd.DataFrame(
+        rows,
+        columns=["image_id", "top", "bottom", "left", "right",
+                 "crop_w", "crop_h", "has_border"],
+    )
+    for c in ["top", "bottom", "left", "right", "crop_w", "crop_h"]:
+        out[c] = out[c].astype("int32")
+    return out
+
+
 def build_multimodal_curation_golden() -> pd.DataFrame:
     """INDEPENDENT multimodal-curation golden: ws-token counts via
     str.split, caption groups via a dict keyed on a regex-cleaned
@@ -578,6 +636,7 @@ def main(sf_dirs: list[str]) -> None:
         ("image_batch_buckets", build_image_batch_buckets_golden),
         ("multimodal_curation", build_multimodal_curation_golden),
         ("image_grayscale_detect", build_image_grayscale_golden),
+        ("image_letterbox_detect", build_image_letterbox_golden),
     ):
         pdf = builder()
         out = os.path.join(GOLDEN_DIR, f"{name}.parquet")

@@ -165,3 +165,64 @@ def test_leakage_safe_split_cluster_integrity(spark):
     n = len(rows)
     train = sum(r["split"] == "train" for r in rows)
     assert 0.8 <= train / n <= 0.97, train / n
+
+
+def test_letterbox_detector_recovers_planted_border(spark):
+    """Every '#box' twin reports exactly its planted uniform border
+    thickness on all four sides; no PRNG original reports any border;
+    crop box equals the pre-padding dimensions."""
+    from grabspark.ops.images import (
+        BOX_EVERY,
+        build_image_corpus,
+        image_letterbox_detect,
+    )
+
+    expected_t = {
+        r.image_id + "#box": (i // BOX_EVERY) % 3 + 1
+        for i, r in enumerate(build_image_corpus().itertuples(index=False))
+        if i % BOX_EVERY == 0
+    }
+    rows = {r["image_id"]: r for r in image_letterbox_detect(spark, SF).collect()}
+    boxed = [k for k in rows if k.endswith("#box")]
+    assert boxed and set(boxed) == set(expected_t)
+    for k in boxed:
+        r, orig = rows[k], rows[k[: -len("#box")]]
+        t = expected_t[k]
+        assert (r["top"], r["bottom"], r["left"], r["right"]) == (t, t, t, t), k
+        assert r["has_border"]
+        # crop restores the original (un-padded) dimensions
+        assert (r["crop_w"], r["crop_h"]) == (
+            orig["crop_w"] + orig["left"] + orig["right"],
+            orig["crop_h"] + orig["top"] + orig["bottom"],
+        )
+    for k, r in rows.items():
+        if not k.endswith("#box"):
+            assert not r["has_border"], k
+
+
+def test_circuit_breaker_matches_sequential_simulation(spark):
+    """Per-host max consecutive-failure run recomputed by a plain python
+    scan over the same deterministic log agrees with the DataFrame op."""
+    import hashlib
+
+    from grabspark.ops.relational import _CB_THRESHOLD, host_circuit_breaker
+    import duckdb
+
+    keys = duckdb.sql(
+        "SELECT o_orderkey FROM '/root/testdata/sf0.001/orders.parquet' ORDER BY 1"
+    ).fetchall()
+    sim: dict = {}
+    for (k,) in keys:
+        host = f"h{k % 7}.test"
+        ok = int(hashlib.md5(str(k).encode()).hexdigest()[:2], 16) % 4 != 0
+        n, f, run, mx = sim.get(host, (0, 0, 0, 0))
+        run = 0 if ok else run + 1
+        sim[host] = (n + 1, f + (not ok), run, max(mx, run))
+    got = {r["host"]: r for r in host_circuit_breaker(spark, SF).collect()}
+    assert set(got) == set(sim)
+    for host, (n, f, _, mx) in sim.items():
+        r = got[host]
+        assert (r["n_attempts"], r["n_fail"], r["max_consec_fail"]) == (n, f, mx), host
+        assert r["circuit_open"] == (mx >= _CB_THRESHOLD)
+    # fixture is non-degenerate: both breaker states occur
+    assert {r["circuit_open"] for r in got.values()} == {True, False}
