@@ -290,6 +290,8 @@ _BEYOND_GATE = (
     "vocab_coverage",
     "image_grayscale_detect",
     "leakage_safe_split",
+    "image_letterbox_detect",
+    "host_circuit_breaker",
 )
 
 
