@@ -292,6 +292,8 @@ _BEYOND_GATE = (
     "leakage_safe_split",
     "image_letterbox_detect",
     "host_circuit_breaker",
+    "image_exposure_detect",
+    "image_pixel_dedup",
 )
 
 

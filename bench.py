@@ -104,6 +104,10 @@ HEADLINE = [
     "image_batch_buckets",
     "multimodal_curation",
     "image_grayscale_detect",
+    "image_letterbox_detect",
+    "image_exposure_detect",
+    "image_pixel_dedup",
+    "host_circuit_breaker",
     "phash_knn",
 ]
 

@@ -859,6 +859,174 @@ def image_letterbox_detect(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.parquet(path).mapInPandas(kernel, _BOX_SCHEMA)
 
 
+def _corpus_pdf_df(spark: SparkSession, pdf0: pd.DataFrame, prefix: str) -> DataFrame:
+    """A (image_id, bytes, w, h, fmt) pandas corpus as a parquet-backed
+    DataFrame (explicit arrow schema so binary/int32 survive)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(tempfile.mkdtemp(prefix=prefix), "c.parquet")
+    schema = pa.schema(
+        [("image_id", pa.string()), ("bytes", pa.binary()), ("w", pa.int32()),
+         ("h", pa.int32()), ("fmt", pa.string())]
+    )
+    pq.write_table(pa.Table.from_pandas(pdf0, schema=schema, preserve_index=False), path)
+    return spark.read.parquet(path)
+
+
+# --- exposure / clipping detection -----------------------------------------------
+#
+# Curation signal: over/under-exposed images (channel values piled up at
+# the sensor rails) carry less trainable signal and skew normalization
+# stats.  The detector counts rail-clipped channel values after decode
+# and labels by clipped fraction.  The corpus plants '#over' twins
+# (+120, clipped) and '#under' twins (-120, clipped): a uniform-PRNG
+# original clips ~47% of its channel values under that shift, while the
+# original's own rail mass is ~2/256 — a 60x separation.
+#
+# qraw note: the lossy codec reconstructs rails at 2 / 254 (midpoint of
+# the 6-bit bin), so "clipped" is <= LO_RAIL / >= HI_RAIL, not == 0/255.
+#
+# 100 TB shape: one Arrow decode pass, per-row decision, no shuffle.
+# Graded against an explicit scalar-loop golden.
+
+EXPO_EVERY = 4
+_EXPO_SHIFT = 120
+_EXPO_LO_RAIL = 2
+_EXPO_HI_RAIL = 254
+_EXPO_FRAC = 0.10  # clipped fraction that flags an exposure problem
+_EXPO_SCHEMA = (
+    "image_id string, n_vals bigint, clip_lo bigint, clip_hi bigint, "
+    "mean_bp bigint, exposure string"
+)
+
+
+def build_exposure_corpus() -> pd.DataFrame:
+    """Image corpus + '#over'/'#under' twins (shifted then clipped,
+    same codec).  Shared by the Spark query and the golden generator."""
+    base = build_image_corpus()
+    rows = []
+    for i, r in enumerate(base.itertuples(index=False)):
+        rows.append(tuple(r))
+        if i % EXPO_EVERY == 0:
+            px = imaging.decode_image(r.bytes, int(r.w), int(r.h), r.fmt).astype(
+                np.int16
+            )
+            for tag, shift in (("#over", _EXPO_SHIFT), ("#under", -_EXPO_SHIFT)):
+                shifted = np.clip(px + shift, 0, 255).astype(np.uint8)
+                rows.append(
+                    (r.image_id + tag, imaging.encode_image(shifted, r.fmt),
+                     int(r.w), int(r.h), r.fmt)
+                )
+    return pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
+
+
+def exposure_kernel(px: np.ndarray) -> tuple[int, int, int, int, str]:
+    """(n_vals, clip_lo, clip_hi, mean_bp, exposure) — all-integer so the
+    golden matches bit-for-bit.  mean_bp = floor of the channel mean in
+    basis points (x10000)."""
+    n = int(px.size)
+    lo = int((px <= _EXPO_LO_RAIL).sum())
+    hi = int((px >= _EXPO_HI_RAIL).sum())
+    mean_bp = int(px.sum(dtype=np.int64)) * 10000 // n
+    if hi > _EXPO_FRAC * n:
+        label = "over"
+    elif lo > _EXPO_FRAC * n:
+        label = "under"
+    else:
+        label = "ok"
+    return n, lo, hi, mean_bp, label
+
+
+def image_exposure_detect(spark: SparkSession, sf: str) -> DataFrame:
+    """(image_id, n_vals, clip_lo, clip_hi, mean_bp, exposure) over the
+    exposure corpus."""
+
+    def kernel(it):
+        for pdf in it:
+            out = []
+            for r in pdf.itertuples(index=False):
+                px = imaging.decode_image(r.bytes, int(r.w), int(r.h), r.fmt)
+                out.append((r.image_id,) + exposure_kernel(px))
+            yield pd.DataFrame(
+                out,
+                columns=["image_id", "n_vals", "clip_lo", "clip_hi",
+                         "mean_bp", "exposure"],
+            )
+
+    corpus = _corpus_pdf_df(spark, build_exposure_corpus(), "grabspark-expocorpus-")
+    return corpus.mapInPandas(kernel, _EXPO_SCHEMA)
+
+
+# --- pixel-exact cross-format dedup ----------------------------------------------
+#
+# Byte-hash dedup (dedup_exact) misses images whose BYTES differ but
+# whose DECODED PIXELS are identical — e.g. a lossy-codec image
+# re-encoded losslessly after decode, the classic mirror/CDN re-encode.
+# Canonical form: decode to RGB888 and hash THOSE bytes, so any two
+# encodings of the same pixels collide.  The corpus plants '#pxtwin'
+# raw re-encodes of qraw originals: byte-different, format-different,
+# pixel-identical (phash also catches them, but at hamming 0 among many
+# near-dups — this op certifies EXACT pixel equality, the only safe
+# auto-drop).
+#
+# 100 TB shape: one Arrow decode pass emits (id, 16-byte canon hash)
+# only — the shuffle never carries pixels — then ONE hash-keyed window
+# groups duplicates.  Graded against an all-pairs np.array_equal
+# union-find golden (different algorithm: no hashing in the grouping).
+
+PXDUP_EVERY = 3
+_PXDUP_SCHEMA = "image_id string, pixel_md5 string, group_size bigint, rep_id string, is_dup boolean"
+
+
+def build_pixel_dedup_corpus() -> pd.DataFrame:
+    """Image corpus + '#pxtwin' raw re-encodes of every PXDUP_EVERY-th
+    qraw image (pixel-identical, byte-different).  Shared with the
+    golden."""
+    base = build_image_corpus()
+    rows = []
+    qraw_seen = 0
+    for r in base.itertuples(index=False):
+        rows.append(tuple(r))
+        if r.fmt == "qraw":
+            if qraw_seen % PXDUP_EVERY == 0:
+                px = imaging.decode_image(r.bytes, int(r.w), int(r.h), r.fmt)
+                rows.append(
+                    (r.image_id + "#pxtwin", imaging.encode_image(px, "raw"),
+                     int(r.w), int(r.h), "raw")
+                )
+            qraw_seen += 1
+    return pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
+
+
+def image_pixel_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """(image_id, pixel_md5, group_size, rep_id, is_dup) over the
+    pixel-dedup corpus; rep_id is the lexicographic-min member."""
+    import hashlib
+
+    def kernel(it):
+        for pdf in it:
+            ids, hashes = [], []
+            for r in pdf.itertuples(index=False):
+                px = imaging.decode_image(r.bytes, int(r.w), int(r.h), r.fmt)
+                ids.append(r.image_id)
+                hashes.append(hashlib.md5(px.tobytes()).hexdigest())
+            yield pd.DataFrame({"image_id": ids, "pixel_md5": hashes})
+
+    from pyspark.sql import Window
+
+    corpus = _corpus_pdf_df(spark, build_pixel_dedup_corpus(), "grabspark-pxdup-")
+    hashed = corpus.mapInPandas(kernel, "image_id string, pixel_md5 string")
+    w = Window.partitionBy("pixel_md5")
+    return hashed.select(
+        "image_id",
+        "pixel_md5",
+        F.count("*").over(w).alias("group_size"),
+        F.min("image_id").over(w).alias("rep_id"),
+        (F.count("*").over(w) > 1).alias("is_dup"),
+    )
+
+
 # --- composed multimodal curation ----------------------------------------------
 #
 # The full LAION-style keep/drop decision over image+caption PAIRS —
@@ -1039,6 +1207,8 @@ QUERIES = {
     "multimodal_curation": multimodal_curation,
     "image_grayscale_detect": image_grayscale_detect,
     "image_letterbox_detect": image_letterbox_detect,
+    "image_exposure_detect": image_exposure_detect,
+    "image_pixel_dedup": image_pixel_dedup,
 }
 
 ORACLES = {
@@ -1074,5 +1244,11 @@ ORACLES = {
     ),
     "image_letterbox_detect": (
         f"SELECT * FROM read_parquet('{os.path.join(_GOLDEN, 'image_letterbox_detect.parquet')}')"
+    ),
+    "image_exposure_detect": (
+        f"SELECT * FROM read_parquet('{os.path.join(_GOLDEN, 'image_exposure_detect.parquet')}')"
+    ),
+    "image_pixel_dedup": (
+        f"SELECT * FROM read_parquet('{os.path.join(_GOLDEN, 'image_pixel_dedup.parquet')}')"
     ),
 }

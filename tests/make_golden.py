@@ -553,6 +553,91 @@ def build_image_letterbox_golden() -> pd.DataFrame:
     return out
 
 
+def build_image_exposure_golden() -> pd.DataFrame:
+    """INDEPENDENT exposure golden: explicit scalar loops (no numpy
+    vectorized comparisons), integer arithmetic only."""
+    from grabspark import imaging
+    from grabspark.ops import images as im
+
+    pdf = im.build_exposure_corpus()
+    rows = []
+    for r in pdf.itertuples(index=False):
+        px = imaging.decode_image(r.bytes, int(r.w), int(r.h), r.fmt)
+        h, w = px.shape[0], px.shape[1]
+        n = h * w * 3
+        lo = hi = total = 0
+        for y in range(h):
+            for x in range(w):
+                for c in range(3):
+                    v = int(px[y, x, c])
+                    total += v
+                    if v <= im._EXPO_LO_RAIL:
+                        lo += 1
+                    if v >= im._EXPO_HI_RAIL:
+                        hi += 1
+        mean_bp = total * 10000 // n
+        if hi * 10 > n:
+            label = "over"
+        elif lo * 10 > n:
+            label = "under"
+        else:
+            label = "ok"
+        rows.append((r.image_id, n, lo, hi, mean_bp, label))
+    return pd.DataFrame(
+        rows,
+        columns=["image_id", "n_vals", "clip_lo", "clip_hi", "mean_bp", "exposure"],
+    )
+
+
+def build_image_pixel_dedup_golden() -> pd.DataFrame:
+    """INDEPENDENT pixel-dedup golden: groups via all-pairs
+    np.array_equal union-find — NO hashing in the grouping; the
+    pixel_md5 column is recomputed here only so the gate can compare it
+    (md5-of-canonical-bytes is the op's declared output, not derived
+    state)."""
+    import hashlib
+
+    from grabspark import imaging
+    from grabspark.ops import images as im
+
+    pdf = im.build_pixel_dedup_corpus()
+    items = []
+    for r in pdf.itertuples(index=False):
+        px = imaging.decode_image(r.bytes, int(r.w), int(r.h), r.fmt)
+        items.append((r.image_id, px))
+    n = len(items)
+    parent = list(range(n))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            if items[i][1].shape == items[j][1].shape and np.array_equal(
+                items[i][1], items[j][1]
+            ):
+                parent[find(i)] = find(j)
+    groups: dict = {}
+    for i in range(n):
+        groups.setdefault(find(i), []).append(i)
+    rows = []
+    for members in groups.values():
+        ids = sorted(items[i][0] for i in members)
+        for i in members:
+            rows.append(
+                (items[i][0],
+                 hashlib.md5(items[i][1].tobytes()).hexdigest(),
+                 len(members), ids[0], len(members) > 1)
+            )
+    return pd.DataFrame(
+        rows,
+        columns=["image_id", "pixel_md5", "group_size", "rep_id", "is_dup"],
+    )
+
+
 def build_multimodal_curation_golden() -> pd.DataFrame:
     """INDEPENDENT multimodal-curation golden: ws-token counts via
     str.split, caption groups via a dict keyed on a regex-cleaned
@@ -637,6 +722,8 @@ def main(sf_dirs: list[str]) -> None:
         ("multimodal_curation", build_multimodal_curation_golden),
         ("image_grayscale_detect", build_image_grayscale_golden),
         ("image_letterbox_detect", build_image_letterbox_golden),
+        ("image_exposure_detect", build_image_exposure_golden),
+        ("image_pixel_dedup", build_image_pixel_dedup_golden),
     ):
         pdf = builder()
         out = os.path.join(GOLDEN_DIR, f"{name}.parquet")

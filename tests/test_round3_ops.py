@@ -226,3 +226,55 @@ def test_circuit_breaker_matches_sequential_simulation(spark):
         assert r["circuit_open"] == (mx >= _CB_THRESHOLD)
     # fixture is non-degenerate: both breaker states occur
     assert {r["circuit_open"] for r in got.values()} == {True, False}
+
+
+def test_exposure_detector_classifies_planted_twins(spark):
+    """Every '#over' twin labels over, '#under' under, originals ok;
+    per-triple brightness ordering under < original < over holds."""
+    from grabspark.ops.images import image_exposure_detect
+
+    rows = {r["image_id"]: r for r in image_exposure_detect(spark, SF).collect()}
+    overs = [k for k in rows if k.endswith("#over")]
+    assert overs
+    for k in overs:
+        base = k[: -len("#over")]
+        assert rows[k]["exposure"] == "over", k
+        assert rows[base + "#under"]["exposure"] == "under"
+        assert rows[base]["exposure"] == "ok"
+        assert (
+            rows[base + "#under"]["mean_bp"]
+            < rows[base]["mean_bp"]
+            < rows[k]["mean_bp"]
+        )
+    for k, r in rows.items():
+        if not (k.endswith("#over") or k.endswith("#under")):
+            assert r["exposure"] == "ok", k
+
+
+def test_pixel_dedup_groups_exactly_the_planted_twins(spark):
+    """Each '#pxtwin' groups with its source (group size 2, or 3 when a
+    '#requant' raw re-encode of the same qraw pixels also exists — both
+    constructions are pixel-identical); the representative is the
+    lexicographic-min member; group bookkeeping is self-consistent."""
+    from grabspark.ops.images import image_pixel_dedup
+
+    rows = {r["image_id"]: r for r in image_pixel_dedup(spark, SF).collect()}
+    twins = [k for k in rows if k.endswith("#pxtwin")]
+    assert twins
+    by_md5: dict = {}
+    for k, r in rows.items():
+        by_md5.setdefault(r["pixel_md5"], []).append(k)
+    for k in twins:
+        src = k[: -len("#pxtwin")]
+        group = sorted(by_md5[rows[k]["pixel_md5"]])
+        assert src in group and 2 <= len(group) <= 3, (k, group)
+        if len(group) == 3:  # only a requant sibling can join
+            assert any(g.endswith("#requant") for g in group), group
+        for g in group:
+            assert rows[g]["group_size"] == len(group)
+            assert rows[g]["is_dup"] and rows[g]["rep_id"] == group[0]
+    for md5, group in by_md5.items():
+        if len(group) == 1:
+            r = rows[group[0]]
+            assert not r["is_dup"] and r["group_size"] == 1
+            assert r["rep_id"] == group[0]
