@@ -294,6 +294,8 @@ _BEYOND_GATE = (
     "host_circuit_breaker",
     "image_exposure_detect",
     "image_pixel_dedup",
+    "sitemap_robots_gate",
+    "weighted_sample",
 )
 
 

@@ -108,6 +108,8 @@ HEADLINE = [
     "image_exposure_detect",
     "image_pixel_dedup",
     "host_circuit_breaker",
+    "sitemap_robots_gate",
+    "weighted_sample",
     "phash_knn",
 ]
 

@@ -496,14 +496,10 @@ FROM dedup
 """
 
 
-def robots_txt_parse(spark: SparkSession, sf: str) -> DataFrame:
-    """X3 raw robots.txt parsing (robots.parse_robots_txt): synthetic
-    per-host bodies with foreign-agent groups, comments, blank lines,
-    empty Disallow, and Crawl-delay — parsed JVM-side with a running
-    ``last`` window for group tracking.  The DuckDB oracle re-parses the
-    same bodies with its own split + IGNORE NULLS window."""
-    from .. import robots as robots_mod
-
+def _robots_bodies(spark: SparkSession, sf: str) -> DataFrame:
+    """Synthetic per-host robots.txt bodies with foreign-agent groups,
+    comments, blank lines, empty Disallow, and Crawl-delay — shared by
+    robots_txt_parse and sitemap_robots_gate."""
     n = T(spark, sf, "nation")
     body = (
         "concat_ws('\\n', '# synthetic robots', 'User-agent: googlebot', "
@@ -512,11 +508,20 @@ def robots_txt_parse(spark: SparkSession, sf: str) -> DataFrame:
         "CASE WHEN n_nationkey % 3 = 0 THEN concat('Crawl-delay: ', CAST(n_nationkey % 5 + 1 AS STRING)) ELSE '' END, "
         "CASE WHEN n_nationkey % 4 = 0 THEN 'Disallow:' ELSE 'Disallow: /tmp # inline' END)"
     )
-    bodies = n.select(
+    return n.select(
         F.concat(F.lit("n"), F.col("n_nationkey").cast("string"), F.lit(".test")).alias("host"),
         F.expr(body).alias("body"),
     )
-    return robots_mod.parse_robots_txt(bodies)
+
+
+def robots_txt_parse(spark: SparkSession, sf: str) -> DataFrame:
+    """X3 raw robots.txt parsing (robots.parse_robots_txt): synthetic
+    per-host bodies parsed JVM-side with a running ``last`` window for
+    group tracking.  The DuckDB oracle re-parses the same bodies with
+    its own split + IGNORE NULLS window."""
+    from .. import robots as robots_mod
+
+    return robots_mod.parse_robots_txt(_robots_bodies(spark, sf))
 
 
 _ROBOTS_PARSE_SQL = """
@@ -772,6 +777,72 @@ z AS (
 SELECT host, CAST(i - 1 AS INT) AS pos, locs[i] AS loc, mods[i] AS lastmod,
        prios[i] AS priority
 FROM z, LATERAL (SELECT unnest(generate_series(1, len(locs))) AS i) g
+"""
+
+
+# --- sitemap -> robots discovery chain ------------------------------------------
+#
+# The composed discovery path a crawl actually runs: URLs surfaced by
+# sitemaps are admitted to the frontier only after the host's robots
+# rules allow them (RFC 9309 longest-match precedence), and each
+# admitted URL carries the host's crawl-delay for the politeness queue.
+# The Spark side runs the REAL machinery end-to-end — raw robots bodies
+# -> robots.parse_robots_txt -> robots.apply_robots (anchored-regex
+# longest-match) -> robots.host_delays — over a frontier whose paths
+# deliberately hit every rule branch (/private blocked on even hosts,
+# /public allow-listed on odd, /tmp blocked except where Disallow: is
+# empty, /c unmatched -> default allow).  The DuckDB oracle is the
+# CLOSED FORM of those decisions from the fixture construction — fully
+# independent of the parser and matcher.
+#
+# 100 TB shape: rules are host-sized (broadcast inside apply_robots);
+# the frontier is never shuffled except apply_robots' own groupBy
+# (host, url) longest-match reduce.
+
+
+def sitemap_robots_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """(host, url_canon, crawl_delay) — sitemap-discovered URLs that
+    survive the host's robots rules, with the politeness delay
+    attached."""
+    from .. import robots as robots_mod
+
+    rules = robots_mod.parse_robots_txt(_robots_bodies(spark, sf))
+    c = T(spark, sf, "customer")
+    frontier = c.select(
+        F.concat(F.lit("n"), F.col("c_nationkey").cast("string"), F.lit(".test")).alias(
+            "host"
+        ),
+        F.expr(
+            "concat('http://n', CAST(c_nationkey AS STRING), '.test/', "
+            "element_at(array('private', 'public', 'tmp', 'c'), "
+            "CAST(c_custkey % 4 AS INT) + 1), '/', CAST(c_custkey AS STRING))"
+        ).alias("url_canon"),
+    )
+    allowed = robots_mod.apply_robots(frontier, rules)
+    delays = robots_mod.host_delays(rules, default_delay=0.0)
+    return allowed.join(F.broadcast(delays), "host", "left").select(
+        "host", "url_canon", F.coalesce("crawl_delay", F.lit(0.0)).alias("crawl_delay")
+    )
+
+
+_SITEMAP_GATE_SQL = """
+WITH frontier AS (
+  SELECT c_nationkey AS nk, c_custkey AS ck,
+         concat('n', CAST(c_nationkey AS VARCHAR), '.test') AS host,
+         concat('http://n', CAST(c_nationkey AS VARCHAR), '.test/',
+                CASE CAST(c_custkey % 4 AS INT) WHEN 0 THEN 'private'
+                     WHEN 1 THEN 'public' WHEN 2 THEN 'tmp' ELSE 'c' END,
+                '/', CAST(c_custkey AS VARCHAR)) AS url_canon
+  FROM customer
+)
+SELECT host, url_canon,
+       CASE WHEN nk % 3 = 0 THEN CAST(nk % 5 + 1 AS DOUBLE) ELSE 0.0 END AS crawl_delay
+FROM frontier
+WHERE CASE CAST(ck % 4 AS INT)
+        WHEN 0 THEN nk % 2 <> 0          -- /private: Disallow on even hosts
+        WHEN 2 THEN nk % 4 = 0           -- /tmp: Disallow except empty-Disallow hosts
+        ELSE TRUE                        -- /public allow-listed, /c unmatched
+      END
 """
 
 
@@ -1728,6 +1799,7 @@ QUERIES = {
     "latency_quantile_sketch": latency_quantile_sketch,
     "store_integrity_digest": store_integrity_digest,
     "host_circuit_breaker": host_circuit_breaker,
+    "sitemap_robots_gate": sitemap_robots_gate,
 }
 
 ORACLES = {
@@ -1763,4 +1835,5 @@ ORACLES = {
     "latency_quantile_sketch": _LATQ_SQL,
     "store_integrity_digest": _DIGEST_SQL,
     "host_circuit_breaker": _CB_SQL,
+    "sitemap_robots_gate": _SITEMAP_GATE_SQL,
 }

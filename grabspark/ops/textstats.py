@@ -576,6 +576,56 @@ SELECT doc_id, lang, samp_rank FROM (
 
 
 # ---------------------------------------------------------------------------
+# Weighted sampling without replacement (round 3): pick K docs with
+# inclusion probability proportional to length, the mixture-building
+# primitive when strata are too coarse.  Efraimidis–Spirakis (IPL 2006,
+# public): draw u~U(0,1) per item, keep the K smallest -ln(u)/w keys —
+# exactly a weight-w exponential race, no sequential pass, no rejection.
+# u is md5-derived (52 mantissa bits, +1 so u>0) so both engines draw
+# identical values.
+#
+# 100 TB shape: per-row key then global top-K = TakeOrderedAndProject
+# (map-side partial top-K, K rows per partition to the driver — never a
+# full sort, never a full shuffle).
+_ES_K = 100
+
+
+def weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, lang, n_chars, es_key, samp_rank): the _ES_K docs winning
+    the length-weighted exponential race."""
+    d = T(spark, sf, "documents")
+    u = (
+        "(CAST(conv(substring(md5(concat('es:', CAST(doc_id AS STRING))), 1, 13), 16, 10) AS DOUBLE) + 1.0)"
+        " / 4503599627370496.0"
+    )
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.expr(f"-ln({u}) / CAST(n_chars AS DOUBLE)").alias("es_key"),
+    )
+    w = Window.orderBy("es_key")
+    return (
+        keyed.orderBy("es_key")
+        .limit(_ES_K)
+        .withColumn("samp_rank", F.row_number().over(w))
+    )
+
+
+_ES_SQL = f"""
+SELECT doc_id, lang, n_chars, es_key,
+       CAST(row_number() OVER (ORDER BY es_key) AS INT) AS samp_rank
+FROM (
+  SELECT doc_id, lang, n_chars,
+         -ln((CAST(CAST('0x' || substring(md5('es:' || CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) AS DOUBLE) + 1.0)
+             / 4503599627370496.0) / CAST(n_chars AS DOUBLE) AS es_key
+  FROM documents
+)
+ORDER BY es_key LIMIT {_ES_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Context-window chunking (round 3): split each document into overlapping
 # token windows — the sequence-prep step every pretraining/RAG pipeline
 # runs before packing/embedding.  Window 32 tokens, stride 24 (25%
@@ -1126,6 +1176,7 @@ QUERIES = {
     "pack_sequences": pack_sequences,
     "boilerplate_strip": boilerplate_strip,
     "vocab_coverage": vocab_coverage,
+    "weighted_sample": weighted_sample,
 }
 
 ORACLES = {
@@ -1148,4 +1199,5 @@ ORACLES = {
     "pack_sequences": _PACK_SQL,
     "boilerplate_strip": _BP_SQL,
     "vocab_coverage": _vocab_sql(),
+    "weighted_sample": _ES_SQL,
 }

@@ -278,3 +278,48 @@ def test_pixel_dedup_groups_exactly_the_planted_twins(spark):
             r = rows[group[0]]
             assert not r["is_dup"] and r["group_size"] == 1
             assert r["rep_id"] == group[0]
+
+
+def test_sitemap_robots_gate_decisions_match_closed_form(spark):
+    """The parser+matcher pipeline must reproduce the fixture's ground
+    truth: /private blocked on even hosts, /tmp blocked except on
+    empty-Disallow (nk%4==0) hosts, /public and /c always admitted;
+    admitted rows carry the host's declared crawl-delay."""
+    from grabspark.ops.relational import sitemap_robots_gate
+
+    rows = sitemap_robots_gate(spark, SF).collect()
+    assert rows
+    segs = set()
+    for r in rows:
+        nk = int(r["host"][1:].split(".")[0])
+        seg = r["url_canon"].split("/")[3]
+        segs.add(seg)
+        if seg == "private":
+            assert nk % 2 == 1, r
+        if seg == "tmp":
+            assert nk % 4 == 0, r
+        want_delay = float(nk % 5 + 1) if nk % 3 == 0 else 0.0
+        assert r["crawl_delay"] == want_delay, r
+    # every admit branch is populated (else a rule path is dead)
+    assert segs == {"private", "public", "tmp", "c"}, segs
+
+
+def test_weighted_sample_is_length_biased_and_well_formed(spark):
+    """Efraimidis-Spirakis contract: ranks are a 1..K permutation ordered
+    by ascending key, members are distinct docs, and the sample is
+    length-biased (its mean length clearly exceeds the corpus mean —
+    the defining property weight-proportional sampling must show)."""
+    import duckdb
+
+    from grabspark.ops.textstats import _ES_K, weighted_sample
+
+    rows = sorted(weighted_sample(spark, SF).collect(), key=lambda r: r["samp_rank"])
+    assert [r["samp_rank"] for r in rows] == list(range(1, min(_ES_K, len(rows)) + 1))
+    keys = [r["es_key"] for r in rows]
+    assert keys == sorted(keys)
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    corpus_mean = duckdb.sql(
+        f"SELECT avg(n_chars) FROM '{SF}/documents.parquet'"
+    ).fetchone()[0]
+    sample_mean = sum(r["n_chars"] for r in rows) / len(rows)
+    assert sample_mean > 1.15 * corpus_mean, (sample_mean, corpus_mean)
