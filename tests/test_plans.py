@@ -685,3 +685,55 @@ def test_multimodal_curation_banded_no_cartesian(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "partial_" in p.lower()
     assert "Window" in p
+
+
+def test_circuit_breaker_single_host_exchange_no_join(spark):
+    """Gaps-and-islands breaker: hashpartitioning(host) from the first
+    window satisfies the (host, ok) window and both rollup groupBys, so
+    the log moves through exactly ONE exchange, with no join."""
+    from grabspark.ops.relational import host_circuit_breaker
+
+    import re
+
+    p = plan(host_circuit_breaker(spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    assert "Join" not in p
+
+
+def test_weighted_sample_is_take_ordered_not_full_sort(spark):
+    """Efraimidis-Spirakis top-K must plan as TakeOrderedAndProject
+    (map-side partial top-K) — a global Sort would shuffle the corpus."""
+    from grabspark.ops.textstats import weighted_sample
+
+    p = plan(weighted_sample(spark, SF))
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_pixel_dedup_shuffles_hash_not_pixels(spark):
+    """The canonical-hash window is the only exchange, and the shuffled
+    row carries (image_id, pixel_md5) only — bytes never move."""
+    from grabspark.ops.images import image_pixel_dedup
+
+    import re
+
+    p = plan(image_pixel_dedup(spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    assert "hashpartitioning(pixel_md5" in p
+    assert "Window" in p
+    # the shuffled row is the Arrow kernel's (image_id, pixel_md5) output:
+    # the binary column never appears above the scan/kernel boundary
+    above_kernel = p.split("MapInPandas")[0]
+    assert "bytes" not in above_kernel, above_kernel
+
+
+def test_sitemap_gate_rules_broadcast_frontier_once(spark):
+    """Robots rules are host-sized: every rules-side join must broadcast;
+    the customer-scale frontier crosses exactly one hash exchange (the
+    longest-match groupBy)."""
+    from grabspark.ops.relational import sitemap_robots_gate
+
+    p = plan(sitemap_robots_gate(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
