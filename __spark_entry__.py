@@ -296,6 +296,7 @@ _BEYOND_GATE = (
     "image_pixel_dedup",
     "sitemap_robots_gate",
     "weighted_sample",
+    "doc_lm_score",
 )
 
 

@@ -110,6 +110,7 @@ HEADLINE = [
     "host_circuit_breaker",
     "sitemap_robots_gate",
     "weighted_sample",
+    "doc_lm_score",
     "phash_knn",
 ]
 

@@ -1156,6 +1156,68 @@ FROM cums
 """
 
 
+# ---------------------------------------------------------------------------
+# Unigram-LM document scoring (round 3): the CCNet/Gopher-style quality
+# filter — train a unigram model on the corpus (top-K vocabulary by
+# count), then score every document by its mean token log-probability;
+# low scorers are gibberish/boilerplate, suspiciously high scorers are
+# repetitive.  Two-pass broadcast-model shape: pass 1 is ONE partial-agg
+# groupBy(token) + TakeOrdered top-K (the model, K rows, broadcastable);
+# pass 2 explodes docs, broadcast-joins the model, and re-aggregates per
+# doc — the corpus is shuffled once per pass, the model never.
+# Out-of-vocabulary tokens take a fixed floor logprob (ln of half the
+# smallest vocab probability) so the score is total, not partial.
+_LM_K = 512
+
+
+def doc_lm_score(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, n_tok, n_oov, avg_logprob) under the corpus-trained
+    top-_LM_K unigram model."""
+    d = T(spark, sf, "documents")
+    toks = d.select("doc_id", F.explode(F.expr(_WORD_TOKS)).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    wall = Window.partitionBy()
+    model = (
+        counts.withColumn("total", F.sum("n").over(wall))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(_LM_K)
+        .select("tok", F.expr("ln(CAST(n AS DOUBLE) / CAST(total AS DOUBLE))").alias("lp"))
+    )
+    floor = model.groupBy().agg((F.min("lp") - F.lit(float(_LN2))).alias("floor_lp"))
+    scored = (
+        toks.join(F.broadcast(model), "tok", "left")
+        .crossJoin(F.broadcast(floor))
+        .select("doc_id", F.coalesce("lp", "floor_lp").alias("lp"),
+                F.col("lp").isNull().alias("oov"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tok"),
+        F.sum(F.col("oov").cast("bigint")).alias("n_oov"),
+        (F.sum("lp") / F.count("*")).alias("avg_logprob"),
+    )
+
+
+_LN2 = 0.6931471805599453
+
+_LM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_WORD_TOKS_DUCK}) AS tok FROM documents
+),
+counts AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+model AS (
+  SELECT tok, ln(CAST(n AS DOUBLE) / CAST((SELECT sum(n) FROM counts) AS DOUBLE)) AS lp
+  FROM counts ORDER BY n DESC, tok ASC LIMIT {_LM_K}
+),
+fl AS (SELECT min(lp) - {_LN2!r} AS floor_lp FROM model)
+SELECT doc_id,
+       count(*) AS n_tok,
+       CAST(sum(CASE WHEN m.lp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       sum(coalesce(m.lp, fl.floor_lp)) / count(*) AS avg_logprob
+FROM toks t LEFT JOIN model m USING (tok), fl
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "text_cleanup": text_cleanup,
     "token_count": token_count,
@@ -1177,6 +1239,7 @@ QUERIES = {
     "boilerplate_strip": boilerplate_strip,
     "vocab_coverage": vocab_coverage,
     "weighted_sample": weighted_sample,
+    "doc_lm_score": doc_lm_score,
 }
 
 ORACLES = {
@@ -1200,4 +1263,5 @@ ORACLES = {
     "boilerplate_strip": _BP_SQL,
     "vocab_coverage": _vocab_sql(),
     "weighted_sample": _ES_SQL,
+    "doc_lm_score": _LM_SQL,
 }

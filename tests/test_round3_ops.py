@@ -323,3 +323,25 @@ def test_weighted_sample_is_length_biased_and_well_formed(spark):
     ).fetchone()[0]
     sample_mean = sum(r["n_chars"] for r in rows) / len(rows)
     assert sample_mean > 1.15 * corpus_mean, (sample_mean, corpus_mean)
+
+
+def test_doc_lm_score_model_contract(spark):
+    """Unigram-LM scoring contract: every doc is scored and total
+    (n_oov <= n_tok, avg_logprob < 0); docs composed entirely of
+    frequent tokens outscore docs with OOV mass (the floor is strictly
+    below every in-vocab logprob by construction)."""
+    from grabspark.ops.textstats import doc_lm_score
+
+    rows = doc_lm_score(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_oov"] <= r["n_tok"], r
+        assert r["avg_logprob"] < 0.0, r
+    no_oov = [r for r in rows if r["n_oov"] == 0]
+    heavy_oov = [r for r in rows if r["n_oov"] * 2 > r["n_tok"]]
+    if no_oov and heavy_oov:
+        import statistics
+
+        assert statistics.mean(r["avg_logprob"] for r in no_oov) > statistics.mean(
+            r["avg_logprob"] for r in heavy_oov
+        )
