@@ -297,6 +297,7 @@ _BEYOND_GATE = (
     "sitemap_robots_gate",
     "weighted_sample",
     "doc_lm_score",
+    "image_dhash_near_dup",
 )
 
 

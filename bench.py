@@ -111,6 +111,7 @@ HEADLINE = [
     "sitemap_robots_gate",
     "weighted_sample",
     "doc_lm_score",
+    "image_dhash_near_dup",
     "phash_knn",
 ]
 

@@ -134,7 +134,14 @@ def image_phash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     — materializing them is the standard LSH shape (at full scale they
     would be written to a signatures table; persist is the in-memory
     equivalent)."""
-    sig = phash_signatures(_corpus_df(spark))
+    return _banded_near_dup_pairs(phash_signatures(_corpus_df(spark)))
+
+
+def _banded_near_dup_pairs(sig: DataFrame) -> DataFrame:
+    """Banded LSH self-join over (image_id, sig[64-char bit string]):
+    candidates share one exact _BAND_BITS band, verified hamming <=
+    HAM_MAX (recall 1.0 by pigeonhole).  Shared by the pHash and dHash
+    near-dup queries."""
     allb = sig.select(
         "image_id",
         "sig",
@@ -169,6 +176,68 @@ def image_phash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("hamming") <= HAM_MAX)
         .select("img_a", "img_b", "hamming")
     )
+
+
+# --- dHash: gradient perceptual hash ------------------------------------------
+#
+# The second classic perceptual-hash family: dHash (difference hash,
+# public — Krawetz 2013) encodes the SIGN of adjacent block-luminance
+# gradients on an 8x(8+1) grid, where pHash encodes DCT coefficient
+# signs.  The two fail differently (dHash is robust to global
+# brightness/contrast shifts, pHash to local noise), so production
+# dedup stacks run both and union candidates.
+#
+# All arithmetic is INTEGER-exact: block sums are int64 box sums over
+# the channel-sum image and the gradient bit is a cross-multiplied
+# integer compare (sum_l * area_r > sum_r * area_l) — no float mean, so
+# the vectorized Arrow kernel and the golden's explicit scalar loops
+# agree bit-for-bit.
+
+
+def dhash64_bits(px: np.ndarray) -> str:
+    """64-char bit string: row-major (8 rows x 8 gradients) dHash."""
+    g = px.sum(axis=2, dtype=np.int64)
+    h, w = g.shape
+    yb = [(r * h) // 8 for r in range(9)]
+    xb = [(c * w) // 9 for c in range(10)]
+    cs = np.zeros((h + 1, w + 1), dtype=np.int64)
+    cs[1:, 1:] = g.cumsum(axis=0).cumsum(axis=1)
+
+    def box(y0, y1, x0, x1):
+        return int(cs[y1, x1] - cs[y0, x1] - cs[y1, x0] + cs[y0, x0])
+
+    bits = []
+    for r in range(8):
+        ah = yb[r + 1] - yb[r]
+        for c in range(8):
+            sl = box(yb[r], yb[r + 1], xb[c], xb[c + 1])
+            sr = box(yb[r], yb[r + 1], xb[c + 1], xb[c + 2])
+            al = ah * (xb[c + 1] - xb[c])
+            ar = ah * (xb[c + 2] - xb[c + 1])
+            bits.append("1" if sl * ar > sr * al else "0")
+    return "".join(bits)
+
+
+def dhash_signatures(images: DataFrame) -> DataFrame:
+    """64-bit dHash per image as a bit string (Arrow-batched)."""
+
+    def kernel(it):
+        for pdf in it:
+            sigs = [
+                dhash64_bits(
+                    imaging.decode_image(r.bytes, int(r.w), int(r.h), r.fmt)
+                )
+                for r in pdf.itertuples(index=False)
+            ]
+            yield pd.DataFrame({"image_id": pdf["image_id"].to_numpy(), "sig": sigs})
+
+    return images.mapInPandas(kernel, _SIG_SCHEMA)
+
+
+def image_dhash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Banded dHash near-dup pairs (same 4x16 banding and hamming <=
+    HAM_MAX verify as the pHash query; different underlying hash)."""
+    return _banded_near_dup_pairs(dhash_signatures(_corpus_df(spark)))
 
 
 # --- features ---------------------------------------------------------------
@@ -1209,6 +1278,7 @@ QUERIES = {
     "image_letterbox_detect": image_letterbox_detect,
     "image_exposure_detect": image_exposure_detect,
     "image_pixel_dedup": image_pixel_dedup,
+    "image_dhash_near_dup": image_dhash_near_dup,
 }
 
 ORACLES = {
@@ -1250,5 +1320,8 @@ ORACLES = {
     ),
     "image_pixel_dedup": (
         f"SELECT * FROM read_parquet('{os.path.join(_GOLDEN, 'image_pixel_dedup.parquet')}')"
+    ),
+    "image_dhash_near_dup": (
+        f"SELECT * FROM read_parquet('{os.path.join(_GOLDEN, 'image_dhash_near_dup.parquet')}')"
     ),
 }

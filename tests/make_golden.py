@@ -155,6 +155,53 @@ def build_image_neardup_golden() -> pd.DataFrame:
     return out
 
 
+def build_image_dhash_neardup_golden() -> pd.DataFrame:
+    """INDEPENDENT dHash golden: signatures from explicit scalar loops
+    (per-pixel box sums, no numpy cumsum/vectorization — exact because
+    the hash is all-integer), then ALL-PAIRS hamming (no banding)."""
+    from grabspark import imaging
+    from grabspark.ops import images as im
+
+    def scalar_dhash(px) -> str:
+        h, w = px.shape[0], px.shape[1]
+        yb = [(r * h) // 8 for r in range(9)]
+        xb = [(c * w) // 9 for c in range(10)]
+
+        def box(y0, y1, x0, x1):
+            s = 0
+            for y in range(y0, y1):
+                for x in range(x0, x1):
+                    s += int(px[y, x, 0]) + int(px[y, x, 1]) + int(px[y, x, 2])
+            return s
+
+        bits = []
+        for r in range(8):
+            ah = yb[r + 1] - yb[r]
+            for c in range(8):
+                sl = box(yb[r], yb[r + 1], xb[c], xb[c + 1])
+                sr = box(yb[r], yb[r + 1], xb[c + 1], xb[c + 2])
+                al = ah * (xb[c + 1] - xb[c])
+                ar = ah * (xb[c + 2] - xb[c + 1])
+                bits.append("1" if sl * ar > sr * al else "0")
+        return "".join(bits)
+
+    pdf = im.build_image_corpus()
+    sigs = [
+        (r.image_id, scalar_dhash(imaging.decode_image(r.bytes, int(r.w), int(r.h), r.fmt)))
+        for r in pdf.itertuples(index=False)
+    ]
+    rows = []
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            a, b = sorted((sigs[i], sigs[j]))
+            d = sum(x != y for x, y in zip(a[1], b[1]))
+            if d <= im.HAM_MAX:
+                rows.append((a[0], b[0], d))
+    out = pd.DataFrame(rows, columns=["img_a", "img_b", "hamming"])
+    out["hamming"] = out["hamming"].astype("int32")
+    return out
+
+
 def _golden_image_corpus() -> pd.DataFrame:
     """Independent re-statement of the shared image corpus (48 store
     images + every-3rd re-encoded twin; same spec literal as
@@ -724,6 +771,7 @@ def main(sf_dirs: list[str]) -> None:
         ("image_letterbox_detect", build_image_letterbox_golden),
         ("image_exposure_detect", build_image_exposure_golden),
         ("image_pixel_dedup", build_image_pixel_dedup_golden),
+        ("image_dhash_near_dup", build_image_dhash_neardup_golden),
     ):
         pdf = builder()
         out = os.path.join(GOLDEN_DIR, f"{name}.parquet")

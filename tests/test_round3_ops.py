@@ -345,3 +345,26 @@ def test_doc_lm_score_model_contract(spark):
         assert statistics.mean(r["avg_logprob"] for r in no_oov) > statistics.mean(
             r["avg_logprob"] for r in heavy_oov
         )
+
+
+def test_dhash_finds_every_requant_twin(spark):
+    """dHash contract: every '#requant' re-encode pairs with its source
+    within HAM_MAX (gradient signs survive the 6-bit requantization),
+    and no pair joins two images that are neither twin nor twin-source."""
+    from grabspark.ops.images import HAM_MAX, build_image_corpus, image_dhash_near_dup
+
+    pairs = [(r["img_a"], r["img_b"], r["hamming"])
+             for r in image_dhash_near_dup(spark, SF).collect()]
+    assert pairs
+    found = {tuple(sorted((a, b))) for a, b, _ in pairs}
+    twins = [r.image_id for r in build_image_corpus().itertuples(index=False)
+             if r.image_id.endswith("#requant")]
+    assert twins
+    for t in twins:
+        src = t[: -len("#requant")]
+        assert tuple(sorted((src, t))) in found, t
+    for a, b, d in pairs:
+        assert 0 <= d <= HAM_MAX
+        assert a.rstrip("#requant") == b.rstrip("#requant") or (
+            a + "#requant" == b or b + "#requant" == a
+        ), (a, b)
