@@ -298,6 +298,7 @@ _BEYOND_GATE = (
     "weighted_sample",
     "doc_lm_score",
     "image_dhash_near_dup",
+    "block_shuffle_manifest",
 )
 
 

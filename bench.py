@@ -112,6 +112,7 @@ HEADLINE = [
     "weighted_sample",
     "doc_lm_score",
     "image_dhash_near_dup",
+    "block_shuffle_manifest",
     "phash_knn",
 ]
 

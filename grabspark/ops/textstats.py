@@ -1218,6 +1218,47 @@ GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Block-shuffle manifest (round 3): the approximate global shuffle every
+# 100 TB training run uses instead of a true one — docs are hashed into
+# B independent blocks and ordered WITHIN the block by a second salt;
+# an epoch reads blocks sequentially, so any training window mixes
+# ~corpus/B of the data while the corpus itself crosses exactly ONE
+# (block)-keyed exchange.  A true global shuffle would range-partition
+# and sort all 100 TB; this is the standard trade (shuffle quality
+# bounded by B) and B scales with executor count.
+_SHUF_BLOCKS = 16
+
+
+def block_shuffle_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, block, pos): epoch read order is (block, pos); both
+    coordinates are md5-derived so the permutation is deterministic."""
+    d = T(spark, sf, "documents").select(
+        "doc_id",
+        F.expr(
+            "CAST(conv(substring(md5(concat('blk:', CAST(doc_id AS STRING))), 1, 7), 16, 10) AS BIGINT)"
+            f" % {_SHUF_BLOCKS}"
+        ).alias("block"),
+        F.md5(F.concat(F.lit("ord:"), F.col("doc_id").cast("string"))).alias("_ord"),
+    )
+    w = Window.partitionBy("block").orderBy("_ord")
+    return d.select(
+        "doc_id", "block", (F.row_number().over(w) - 1).cast("long").alias("pos")
+    )
+
+
+_SHUF_SQL = f"""
+SELECT doc_id, block, CAST(row_number() OVER (PARTITION BY block ORDER BY ord) - 1 AS BIGINT) AS pos
+FROM (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5('blk:' || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT)
+           % {_SHUF_BLOCKS} AS block,
+         md5('ord:' || CAST(doc_id AS VARCHAR)) AS ord
+  FROM documents
+)
+"""
+
+
 QUERIES = {
     "text_cleanup": text_cleanup,
     "token_count": token_count,
@@ -1240,6 +1281,7 @@ QUERIES = {
     "vocab_coverage": vocab_coverage,
     "weighted_sample": weighted_sample,
     "doc_lm_score": doc_lm_score,
+    "block_shuffle_manifest": block_shuffle_manifest,
 }
 
 ORACLES = {
@@ -1264,4 +1306,5 @@ ORACLES = {
     "vocab_coverage": _vocab_sql(),
     "weighted_sample": _ES_SQL,
     "doc_lm_score": _LM_SQL,
+    "block_shuffle_manifest": _SHUF_SQL,
 }

@@ -368,3 +368,21 @@ def test_dhash_finds_every_requant_twin(spark):
         assert a.rstrip("#requant") == b.rstrip("#requant") or (
             a + "#requant" == b or b + "#requant" == a
         ), (a, b)
+
+
+def test_block_shuffle_manifest_is_a_permutation(spark):
+    """Every doc appears exactly once; positions within each block are a
+    contiguous 0..k-1 prefix ordered by the salt; block sizes are
+    balanced within the md5-uniform band."""
+    from grabspark.ops.textstats import _SHUF_BLOCKS, block_shuffle_manifest
+
+    rows = block_shuffle_manifest(spark, SF).collect()
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    blocks: dict = {}
+    for r in rows:
+        blocks.setdefault(r["block"], []).append(r["pos"])
+    assert set(blocks) == set(range(_SHUF_BLOCKS))
+    for b, poss in blocks.items():
+        assert sorted(poss) == list(range(len(poss))), b
+    sizes = [len(p) for p in blocks.values()]
+    assert max(sizes) < 3 * max(1, min(sizes)), sizes
