@@ -299,6 +299,7 @@ _BEYOND_GATE = (
     "doc_lm_score",
     "image_dhash_near_dup",
     "block_shuffle_manifest",
+    "mirror_host_detect",
 )
 
 

@@ -113,6 +113,7 @@ HEADLINE = [
     "doc_lm_score",
     "image_dhash_near_dup",
     "block_shuffle_manifest",
+    "mirror_host_detect",
     "phash_knn",
 ]
 

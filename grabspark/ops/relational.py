@@ -846,6 +846,86 @@ WHERE CASE CAST(ck % 4 AS INT)
 """
 
 
+# --- mirror-host detection -------------------------------------------------------
+#
+# Crawl mirror elimination (Bharat & Broder, WWW 1999 — public): two
+# hosts serving largely the same page set should be crawled once, not
+# twice.  Host-pair content overlap via the inverted-index shape (the
+# same device as the ngram-Jaccard dedupe): page fingerprints ->
+# (fp, host) postings -> per-fp host pairs -> groupBy pair count ->
+# similarity vs per-host page counts.  The fixture derives page
+# fingerprints from a shared content keyspace so some host pairs are
+# near-mirrors (same o_orderkey residues) and others overlap only by
+# chance.
+#
+# 100 TB shape: the postings self-join is bounded per fingerprint by
+# the number of hosts serving that page (mirror candidates), not corpus
+# size; a production run samples K fingerprints per host first (the
+# paper's shingle sampling) — the pair-count rollup and similarity math
+# are unchanged by that sampling, which is why this query grades the
+# rollup exactly.
+
+_MIRROR_MIN_SIM_PCT = 50
+
+
+def mirror_host_detect(spark: SparkSession, sf: str) -> DataFrame:
+    """(host_a, host_b, shared, pages_a, pages_b, sim_pct) for host
+    pairs sharing >= _MIRROR_MIN_SIM_PCT% of the smaller host's pages."""
+    o = T(spark, sf, "orders")
+    # mirrors by construction: hosts m0/m4, m1/m5, ... serve the same
+    # content residue class (ck % 4), plus a shared '/common' page set
+    pages = o.select(
+        F.expr("concat('m', CAST(o_orderkey % 8 AS STRING), '.test')").alias("host"),
+        F.expr(
+            "CASE WHEN o_orderkey % 11 = 0 THEN concat('common', CAST(o_orderkey % 7 AS STRING)) "
+            "ELSE concat('c', CAST(o_orderkey % 4 AS STRING), '-', CAST(o_orderkey % 199 AS STRING)) END"
+        ).alias("content_key"),
+    ).distinct()
+    posts = pages.select("host", F.md5("content_key").alias("fp"))
+    per_host = posts.groupBy("host").agg(F.count("*").alias("pages"))
+    a, b = posts.alias("a"), posts.alias("b")
+    shared = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.host") < F.col("b.host")))
+        .groupBy(F.col("a.host").alias("host_a"), F.col("b.host").alias("host_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    pa = per_host.select(F.col("host").alias("host_a"), F.col("pages").alias("pages_a"))
+    pb = per_host.select(F.col("host").alias("host_b"), F.col("pages").alias("pages_b"))
+    return (
+        shared.join(F.broadcast(pa), "host_a")
+        .join(F.broadcast(pb), "host_b")
+        .withColumn(
+            "sim_pct",
+            F.expr("CAST(shared * 100 DIV least(pages_a, pages_b) AS INT)"),
+        )
+        .filter(F.col("sim_pct") >= _MIRROR_MIN_SIM_PCT)
+        .select("host_a", "host_b", "shared", "pages_a", "pages_b", "sim_pct")
+    )
+
+
+_MIRROR_SQL = f"""
+WITH pages AS (
+  SELECT DISTINCT concat('m', CAST(o_orderkey % 8 AS VARCHAR), '.test') AS host,
+         CASE WHEN o_orderkey % 11 = 0 THEN concat('common', CAST(o_orderkey % 7 AS VARCHAR))
+              ELSE concat('c', CAST(o_orderkey % 4 AS VARCHAR), '-', CAST(o_orderkey % 199 AS VARCHAR)) END AS content_key
+  FROM orders
+),
+posts AS (SELECT host, md5(content_key) AS fp FROM pages),
+per_host AS (SELECT host, count(*) AS pages FROM posts GROUP BY host),
+shared AS (
+  SELECT a.host AS host_a, b.host AS host_b, count(*) AS shared
+  FROM posts a JOIN posts b ON a.fp = b.fp AND a.host < b.host
+  GROUP BY a.host, b.host
+)
+SELECT s.host_a, s.host_b, s.shared, pa.pages AS pages_a, pb.pages AS pages_b,
+       CAST(s.shared * 100 // least(pa.pages, pb.pages) AS INT) AS sim_pct
+FROM shared s
+JOIN per_host pa ON pa.host = s.host_a
+JOIN per_host pb ON pb.host = s.host_b
+WHERE s.shared * 100 // least(pa.pages, pb.pages) >= {_MIRROR_MIN_SIM_PCT}
+"""
+
+
 # --- re-crawl prioritization --------------------------------------------------
 #
 # The scheduling policy a continuous crawl runs over its fetch log: hosts
@@ -1800,6 +1880,7 @@ QUERIES = {
     "store_integrity_digest": store_integrity_digest,
     "host_circuit_breaker": host_circuit_breaker,
     "sitemap_robots_gate": sitemap_robots_gate,
+    "mirror_host_detect": mirror_host_detect,
 }
 
 ORACLES = {
@@ -1836,4 +1917,5 @@ ORACLES = {
     "store_integrity_digest": _DIGEST_SQL,
     "host_circuit_breaker": _CB_SQL,
     "sitemap_robots_gate": _SITEMAP_GATE_SQL,
+    "mirror_host_detect": _MIRROR_SQL,
 }

@@ -386,3 +386,18 @@ def test_block_shuffle_manifest_is_a_permutation(spark):
         assert sorted(poss) == list(range(len(poss))), b
     sizes = [len(p) for p in blocks.values()]
     assert max(sizes) < 3 * max(1, min(sizes)), sizes
+
+
+def test_mirror_detection_finds_exactly_the_planted_pairs(spark):
+    """The fixture plants mirrors as residue-class partners (m_k,
+    m_{k+4}); the detector must report exactly those 4 pairs and no
+    cross-class pair (those share only the small '/common' set, far
+    under threshold)."""
+    from grabspark.ops.relational import mirror_host_detect
+
+    rows = mirror_host_detect(spark, SF).collect()
+    got = {(r["host_a"], r["host_b"]) for r in rows}
+    assert got == {(f"m{k}.test", f"m{k + 4}.test") for k in range(4)}, got
+    for r in rows:
+        assert r["shared"] <= min(r["pages_a"], r["pages_b"])
+        assert r["sim_pct"] >= 50
