@@ -300,6 +300,7 @@ _BEYOND_GATE = (
     "image_dhash_near_dup",
     "block_shuffle_manifest",
     "mirror_host_detect",
+    "domain_budget_rollup",
 )
 
 

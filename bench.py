@@ -114,6 +114,7 @@ HEADLINE = [
     "image_dhash_near_dup",
     "block_shuffle_manifest",
     "mirror_host_detect",
+    "domain_budget_rollup",
     "phash_knn",
 ]
 

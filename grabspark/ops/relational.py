@@ -926,6 +926,83 @@ WHERE s.shared * 100 // least(pa.pages, pb.pages) >= {_MIRROR_MIN_SIM_PCT}
 """
 
 
+# --- registered-domain (eTLD+1) budget rollup ------------------------------------
+#
+# Host-level politeness is not enough: a.blogspot.com and b.blogspot.com
+# are one SITE behind one origin, and budgeting them independently
+# multiplies the site's load by its subdomain count (the classic crawler
+# mistake the public-suffix list exists to prevent).  The rollup
+# extracts the registered domain — last 2 labels, or last 3 when the
+# host ends in a listed 2-label public suffix (co.uk-style) — and
+# divides one domain budget fairly across its live hosts.
+#
+# 100 TB shape: the extraction is a pure JVM string map; the rollup is
+# ONE partial-agg groupBy(domain) (domains ~ sites, far fewer than
+# hosts/URLs).  A real deployment swaps the inline 2-label sample for
+# the full public-suffix list as a broadcast set — same plan.
+
+_SUFFIX2 = ("co.uk", "com.au")  # public-suffix sample (2-label suffixes)
+_DOMAIN_BUDGET = 120
+
+
+def _reg_domain_expr(host_col: str) -> str:
+    cond = " OR ".join(
+        f"{host_col} LIKE '%.{s}'" for s in _SUFFIX2
+    )
+    parts = f"split({host_col}, '\\\\.')"
+    return (
+        f"CASE WHEN {cond} THEN array_join(slice({parts}, size({parts}) - 2, 3), '.') "
+        f"ELSE array_join(slice({parts}, size({parts}) - 1, 2), '.') END"
+    )
+
+
+def domain_budget_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """(reg_domain, n_hosts, n_urls, per_host_budget): one
+    _DOMAIN_BUDGET shared by every host of the registered domain
+    (floor division; hosts-count capped at the budget)."""
+    o = T(spark, sf, "orders")
+    urls = o.select(
+        F.expr(
+            "concat('s', CAST(o_orderkey % 13 AS STRING), '.', "
+            "element_at(array('shared.co.uk', 'example.com', 'pages.dev', "
+            "'corp.com.au', 'site.test'), CAST(o_orderkey % 5 AS INT) + 1))"
+        ).alias("host")
+    )
+    tagged = urls.withColumn("reg_domain", F.expr(_reg_domain_expr("host")))
+    return tagged.groupBy("reg_domain").agg(
+        F.countDistinct("host").alias("n_hosts"),
+        F.count("*").alias("n_urls"),
+        F.expr(
+            f"CAST({_DOMAIN_BUDGET} DIV greatest(count(DISTINCT host), 1) AS BIGINT)"
+        ).alias("per_host_budget"),
+    )
+
+
+_DOMAIN_SQL = f"""
+WITH urls AS (
+  SELECT concat('s', CAST(o_orderkey % 13 AS VARCHAR), '.',
+                CASE CAST(o_orderkey % 5 AS INT)
+                  WHEN 0 THEN 'shared.co.uk' WHEN 1 THEN 'example.com'
+                  WHEN 2 THEN 'pages.dev' WHEN 3 THEN 'corp.com.au'
+                  ELSE 'site.test' END) AS host
+  FROM orders
+),
+tagged AS (
+  SELECT host,
+         CASE WHEN host LIKE '%.co.uk' OR host LIKE '%.com.au'
+              THEN array_to_string(list_slice(string_split(host, '.'),
+                     len(string_split(host, '.')) - 2, len(string_split(host, '.'))), '.')
+              ELSE array_to_string(list_slice(string_split(host, '.'),
+                     len(string_split(host, '.')) - 1, len(string_split(host, '.'))), '.')
+         END AS reg_domain
+  FROM urls
+)
+SELECT reg_domain, count(DISTINCT host) AS n_hosts, count(*) AS n_urls,
+       CAST({_DOMAIN_BUDGET} // greatest(count(DISTINCT host), 1) AS BIGINT) AS per_host_budget
+FROM tagged GROUP BY reg_domain
+"""
+
+
 # --- re-crawl prioritization --------------------------------------------------
 #
 # The scheduling policy a continuous crawl runs over its fetch log: hosts
@@ -1881,6 +1958,7 @@ QUERIES = {
     "host_circuit_breaker": host_circuit_breaker,
     "sitemap_robots_gate": sitemap_robots_gate,
     "mirror_host_detect": mirror_host_detect,
+    "domain_budget_rollup": domain_budget_rollup,
 }
 
 ORACLES = {
@@ -1918,4 +1996,5 @@ ORACLES = {
     "host_circuit_breaker": _CB_SQL,
     "sitemap_robots_gate": _SITEMAP_GATE_SQL,
     "mirror_host_detect": _MIRROR_SQL,
+    "domain_budget_rollup": _DOMAIN_SQL,
 }

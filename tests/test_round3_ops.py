@@ -401,3 +401,18 @@ def test_mirror_detection_finds_exactly_the_planted_pairs(spark):
     for r in rows:
         assert r["shared"] <= min(r["pages_a"], r["pages_b"])
         assert r["sim_pct"] >= 50
+
+
+def test_domain_rollup_groups_suffix_hosts_correctly(spark):
+    """eTLD+1 contract: co.uk/com.au hosts roll up under 3-label
+    registered domains (13 subdomains -> ONE row), plain TLDs under
+    2-label ones; the shared budget divides by live host count."""
+    from grabspark.ops.relational import _DOMAIN_BUDGET, domain_budget_rollup
+
+    rows = {r["reg_domain"]: r for r in domain_budget_rollup(spark, SF).collect()}
+    assert set(rows) == {
+        "shared.co.uk", "example.com", "pages.dev", "corp.com.au", "site.test"
+    }, set(rows)
+    for dom, r in rows.items():
+        assert r["n_hosts"] == 13, r  # all 13 subdomain residues occur
+        assert r["per_host_budget"] == _DOMAIN_BUDGET // 13
