@@ -301,6 +301,7 @@ _BEYOND_GATE = (
     "block_shuffle_manifest",
     "mirror_host_detect",
     "domain_budget_rollup",
+    "video_scene_cuts",
 )
 
 

@@ -115,6 +115,7 @@ HEADLINE = [
     "block_shuffle_manifest",
     "mirror_host_detect",
     "domain_budget_rollup",
+    "video_scene_cuts",
     "phash_knn",
 ]
 

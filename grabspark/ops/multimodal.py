@@ -196,12 +196,85 @@ FROM px GROUP BY k, f
 """
 
 
+# -- scene-cut detection ------------------------------------------------------
+#
+# Shot-boundary detection, the key video-pipeline op before frame
+# sampling: training sets want one keyframe per SHOT, not per stride,
+# or near-identical frames flood the batch.  Detector: a cut between
+# consecutive frames when the absolute luminance-sum delta exceeds
+# _CUT_THRESH (all-integer: frame sums are exact int64, no float mean).
+# The DuckDB oracle recomputes the sums FROM THE LATTICE FORMULA —
+# bytes never touch it — so agreement again certifies the binary
+# round-trip, now through a different statistic (inter-frame deltas).
+#
+# 100 TB shape: one Arrow decode pass, per-clip sequential frame walk
+# inside the kernel (frames of one clip are one row), no shuffle.
+
+_CUT_THRESH = 500  # |sum(frame_f) - sum(frame_{f-1})| that marks a cut
+# (lattice deltas take values {64,192,320,448,576,832}: 500 splits them,
+#  so clips carry 0..n cuts and both classes are populated at fixture scale)
+
+
+def video_scene_cuts(spark: SparkSession, sf: str) -> DataFrame:
+    """(video_id, n_frames, n_cuts, max_delta): inter-frame luminance
+    deltas over the raw payload, cuts above _CUT_THRESH."""
+    video = synth_video_df(spark)
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for r in pdf.itertuples(index=False):
+                frames = decode_video(r.bytes, r.fmt).astype(np.int64)
+                sums = frames.sum(axis=1)
+                deltas = [int(abs(sums[f] - sums[f - 1])) for f in range(1, len(sums))]
+                n_cuts = sum(d > _CUT_THRESH for d in deltas)
+                out.append(
+                    (r.video_id, int(len(sums)), int(n_cuts),
+                     int(max(deltas)) if deltas else 0)
+                )
+            yield pd.DataFrame(
+                out, columns=["video_id", "n_frames", "n_cuts", "max_delta"]
+            )
+
+    return video.mapInPandas(
+        kernel,
+        schema="video_id string, n_frames int, n_cuts int, max_delta bigint",
+    )
+
+
+_CUTS_SQL = f"""
+WITH clips AS (
+  SELECT k, 4 + (k % 3) AS n_f
+  FROM (SELECT unnest(generate_series(0, {N_VIDEO - 1})) AS k)
+),
+px AS (
+  SELECT k, f, (k * 7 + f * 13 + p * 3) % 256 AS v
+  FROM clips,
+       LATERAL (SELECT unnest(generate_series(0, n_f - 1)) AS f) g,
+       LATERAL (SELECT unnest(generate_series(0, {_FRAME_PX - 1})) AS p) h
+),
+sums AS (SELECT k, f, sum(v) AS s FROM px GROUP BY k, f),
+deltas AS (
+  SELECT k, abs(s - lag(s) OVER (PARTITION BY k ORDER BY f)) AS d
+  FROM sums
+)
+SELECT 'v' || k AS video_id,
+       CAST(max(c.n_f) AS INT) AS n_frames,
+       CAST(sum(CASE WHEN d.d > {_CUT_THRESH} THEN 1 ELSE 0 END) AS INT) AS n_cuts,
+       CAST(coalesce(max(d.d), 0) AS BIGINT) AS max_delta
+FROM clips c JOIN deltas d USING (k)
+GROUP BY k
+"""
+
+
 QUERIES = {
     "audio_features": audio_features,
     "video_frame_sample": video_frame_sample,
+    "video_scene_cuts": video_scene_cuts,
 }
 
 ORACLES = {
     "audio_features": _AUDIO_SQL,
     "video_frame_sample": _VIDEO_SQL,
+    "video_scene_cuts": _CUTS_SQL,
 }

@@ -416,3 +416,17 @@ def test_domain_rollup_groups_suffix_hosts_correctly(spark):
     for dom, r in rows.items():
         assert r["n_hosts"] == 13, r  # all 13 subdomain residues occur
         assert r["per_host_budget"] == _DOMAIN_BUDGET // 13
+
+
+def test_scene_cuts_both_classes_and_bounds(spark):
+    """Cut counts are bounded by frame count - 1; the 500 threshold
+    splits the lattice's delta values so both cut and no-cut transitions
+    occur at fixture scale (else the detector is vacuous)."""
+    from grabspark.ops.multimodal import video_scene_cuts
+
+    rows = video_scene_cuts(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_cuts"] <= r["n_frames"] - 1, r
+    assert any(r["n_cuts"] > 0 for r in rows)
+    assert any(r["n_cuts"] < r["n_frames"] - 1 for r in rows)
