@@ -302,6 +302,7 @@ _BEYOND_GATE = (
     "mirror_host_detect",
     "domain_budget_rollup",
     "video_scene_cuts",
+    "url_strip_tracking",
 )
 
 

@@ -116,6 +116,7 @@ HEADLINE = [
     "mirror_host_detect",
     "domain_budget_rollup",
     "video_scene_cuts",
+    "url_strip_tracking",
     "phash_knn",
 ]
 

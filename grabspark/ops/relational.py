@@ -1003,6 +1003,81 @@ FROM tagged GROUP BY reg_domain
 """
 
 
+# --- tracking-parameter stripping ------------------------------------------------
+#
+# Tracking params (utm_*, gclid, fbclid, ref) multiply one page into
+# thousands of frontier URLs — the single biggest avoidable URL-space
+# explosion a crawler meets (NR-EXT beyond F1/canon_full, which sorts
+# params but keeps them).  The op strips the tracking keys, re-sorts
+# the survivors, and rolls up how many raw variants collapse onto each
+# clean target — all JVM array ops (split/filter/sort/join), one
+# partial-agg groupBy(clean_url).
+
+_TRACKING_RE = "^(utm_[a-z]+|gclid|fbclid|ref)=.*"
+
+
+def url_strip_tracking(spark: SparkSession, sf: str) -> DataFrame:
+    """(clean_url, n_variants, first_url): frontier URLs collapsed by
+    tracking-parameter removal; first_url = min raw variant."""
+    o = T(spark, sf, "orders")
+    raw = o.select(
+        F.expr(
+            "concat('http://t', CAST(o_orderkey % 5 AS STRING), '.test/p', "
+            "CAST(o_orderkey % 97 AS STRING), "
+            "CASE CAST(o_orderkey % 4 AS INT) "
+            "  WHEN 0 THEN concat('?utm_source=s', CAST(o_orderkey % 3 AS STRING), '&id=7') "
+            "  WHEN 1 THEN concat('?gclid=g', CAST(o_orderkey % 11 AS STRING)) "
+            "  WHEN 2 THEN concat('?id=7&utm_campaign=c', CAST(o_orderkey % 2 AS STRING), '&ref=r') "
+            "  ELSE '?id=7' END)"
+        ).alias("url")
+    )
+    split = raw.select(
+        "url",
+        F.expr("split(url, '\\\\?', 2)[0]").alias("base"),
+        F.expr(
+            "array_sort(filter(split(coalesce(split(url, '\\\\?', 2)[1], ''), '&'), "
+            f"x -> x != '' AND NOT x RLIKE '{_TRACKING_RE}'))"
+        ).alias("kept"),
+    )
+    clean = split.select(
+        "url",
+        F.expr(
+            "concat(base, CASE WHEN size(kept) > 0 THEN concat('?', array_join(kept, '&')) ELSE '' END)"
+        ).alias("clean_url"),
+    )
+    return clean.groupBy("clean_url").agg(
+        F.countDistinct("url").alias("n_variants"),
+        F.min("url").alias("first_url"),
+    )
+
+
+_STRIP_SQL = """
+WITH raw AS (
+  SELECT concat('http://t', CAST(o_orderkey % 5 AS VARCHAR), '.test/p',
+                CAST(o_orderkey % 97 AS VARCHAR),
+                CASE CAST(o_orderkey % 4 AS INT)
+                  WHEN 0 THEN concat('?utm_source=s', CAST(o_orderkey % 3 AS VARCHAR), '&id=7')
+                  WHEN 1 THEN concat('?gclid=g', CAST(o_orderkey % 11 AS VARCHAR))
+                  WHEN 2 THEN concat('?id=7&utm_campaign=c', CAST(o_orderkey % 2 AS VARCHAR), '&ref=r')
+                  ELSE '?id=7' END) AS url
+  FROM orders
+),
+split AS (
+  SELECT url, string_split(url, '?')[1] AS base,
+         list_sort(list_filter(string_split(coalesce(string_split(url, '?')[2], ''), '&'),
+                   x -> x <> '' AND NOT regexp_matches(x, '^(utm_[a-z]+|gclid|fbclid|ref)=.*'))) AS kept
+  FROM raw
+),
+clean AS (
+  SELECT url, concat(base, CASE WHEN len(kept) > 0
+                                THEN concat('?', array_to_string(kept, '&')) ELSE '' END) AS clean_url
+  FROM split
+)
+SELECT clean_url, count(DISTINCT url) AS n_variants, min(url) AS first_url
+FROM clean GROUP BY clean_url
+"""
+
+
 # --- re-crawl prioritization --------------------------------------------------
 #
 # The scheduling policy a continuous crawl runs over its fetch log: hosts
@@ -1959,6 +2034,7 @@ QUERIES = {
     "sitemap_robots_gate": sitemap_robots_gate,
     "mirror_host_detect": mirror_host_detect,
     "domain_budget_rollup": domain_budget_rollup,
+    "url_strip_tracking": url_strip_tracking,
 }
 
 ORACLES = {
@@ -1997,4 +2073,5 @@ ORACLES = {
     "sitemap_robots_gate": _SITEMAP_GATE_SQL,
     "mirror_host_detect": _MIRROR_SQL,
     "domain_budget_rollup": _DOMAIN_SQL,
+    "url_strip_tracking": _STRIP_SQL,
 }

@@ -430,3 +430,22 @@ def test_scene_cuts_both_classes_and_bounds(spark):
         assert 0 <= r["n_cuts"] <= r["n_frames"] - 1, r
     assert any(r["n_cuts"] > 0 for r in rows)
     assert any(r["n_cuts"] < r["n_frames"] - 1 for r in rows)
+
+
+def test_tracking_strip_collapses_only_tracking_params(spark):
+    """No clean_url retains a tracking key; non-tracking params (id=7)
+    survive; gclid-only URLs collapse to a bare path while pages with
+    different real params never merge."""
+    from grabspark.ops.relational import url_strip_tracking
+
+    rows = url_strip_tracking(spark, SF).collect()
+    assert rows
+    collapsed = [r for r in rows if r["n_variants"] > 1]
+    assert collapsed, "tracking variants must collapse"
+    for r in rows:
+        q = r["clean_url"].split("?", 1)[1] if "?" in r["clean_url"] else ""
+        for part in filter(None, q.split("&")):
+            key = part.split("=", 1)[0]
+            assert not (key.startswith("utm_") or key in ("gclid", "fbclid", "ref")), r
+        if "?" in r["first_url"] and "gclid" in r["first_url"]:
+            assert "?" not in r["clean_url"], r  # gclid was the only param
