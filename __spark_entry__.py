@@ -303,6 +303,7 @@ _BEYOND_GATE = (
     "domain_budget_rollup",
     "video_scene_cuts",
     "url_strip_tracking",
+    "embedding_int8_quant",
 )
 
 

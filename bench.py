@@ -117,6 +117,7 @@ HEADLINE = [
     "domain_budget_rollup",
     "video_scene_cuts",
     "url_strip_tracking",
+    "embedding_int8_quant",
     "phash_knn",
 ]
 

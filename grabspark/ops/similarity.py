@@ -927,6 +927,69 @@ FROM rec JOIN ncand ON rec.method = ncand.method, total
 """
 
 
+# --- int8 scalar quantization audit ----------------------------------------------
+#
+# The storage trade that makes billion-vector ANN feasible: float32
+# embeddings quantized to int8 cut memory/IO 4x, at a bounded
+# reconstruction error of half a quantization bin per dimension.  The
+# audit runs the full round trip — per-dimension global [lo, hi] (ONE
+# tiny groupBy(dim): 64 rows, broadcast back), quantize
+# floor((v-lo)/(hi-lo)*255 + 0.5), dequantize, per-vector error rollup —
+# and grades the ERROR, so a regression in either direction (wrong
+# scale, wrong rounding, axis mixup) shows as a value mismatch.
+# floor(x + 0.5) not round(): Java rounds half-up, DuckDB half-even —
+# floor form is identical in both.
+
+
+def embedding_int8_quant(spark: SparkSession, sf: str) -> DataFrame:
+    """(vec_id, n_dims, max_abs_err, mean_abs_err) after an int8
+    round-trip against per-dimension global ranges."""
+    e = T(spark, sf, "embeddings")
+    ex = e.select("vec_id", F.posexplode("embedding").alias("i", "v0")).select(
+        "vec_id", "i", F.col("v0").cast("double").alias("v")
+    )
+    dims = ex.groupBy("i").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    q = ex.join(F.broadcast(dims), "i").select(
+        "vec_id",
+        F.expr(
+            "CASE WHEN hi > lo THEN "
+            "least(greatest(floor((v - lo) / (hi - lo) * 255.0 + 0.5), 0.0), 255.0) "
+            "ELSE 0.0 END"
+        ).alias("qv"),
+        "v", "lo", "hi",
+    )
+    err = q.select(
+        "vec_id", F.expr("abs(v - (lo + qv * (hi - lo) / 255.0))").alias("err")
+    )
+    return err.groupBy("vec_id").agg(
+        F.count("*").cast("int").alias("n_dims"),
+        F.round(F.max("err"), 6).alias("max_abs_err"),
+        F.round(F.sum("err") / F.count("*"), 6).alias("mean_abs_err"),
+    )
+
+
+_QUANT_SQL = """
+WITH ex AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+),
+dims AS (SELECT i, min(v) AS lo, max(v) AS hi FROM ex GROUP BY i),
+q AS (
+  SELECT vec_id,
+         CASE WHEN hi > lo THEN
+           least(greatest(floor((v - lo) / (hi - lo) * 255.0 + 0.5), 0.0), 255.0)
+         ELSE 0.0 END AS qv,
+         v, lo, hi
+  FROM ex JOIN dims USING (i)
+),
+err AS (SELECT vec_id, abs(v - (lo + qv * (hi - lo) / 255.0)) AS err FROM q)
+SELECT vec_id, CAST(count(*) AS INT) AS n_dims,
+       round(max(err), 6) AS max_abs_err,
+       round(sum(err) / count(*), 6) AS mean_abs_err
+FROM err GROUP BY vec_id
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_norms": embedding_norms,
@@ -939,6 +1002,7 @@ QUERIES = {
     "ann_pq_topk": ann_pq_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_recall_report": ann_recall_report,
+    "embedding_int8_quant": embedding_int8_quant,
 }
 
 ORACLES = {
@@ -955,4 +1019,5 @@ ORACLES = {
     "ann_pq_topk": _ANN_PQ_SQL,
     "dedup_embedding_cosine": _DEDUP_COS_SQL,
     "ann_recall_report": _RECALL_SQL,
+    "embedding_int8_quant": _QUANT_SQL,
 }

@@ -449,3 +449,28 @@ def test_tracking_strip_collapses_only_tracking_params(spark):
             assert not (key.startswith("utm_") or key in ("gclid", "fbclid", "ref")), r
         if "?" in r["first_url"] and "gclid" in r["first_url"]:
             assert "?" not in r["clean_url"], r  # gclid was the only param
+
+
+def test_int8_quant_error_within_half_bin(spark):
+    """Quantization contract: every vector's max reconstruction error is
+    at most half the widest dimension bin (plus float slack), and no
+    error is negative-impossible (all >= 0 by abs)."""
+    import duckdb
+
+    from grabspark.ops.similarity import embedding_int8_quant
+
+    rows = embedding_int8_quant(spark, SF).collect()
+    assert rows
+    widest = duckdb.sql(f"""
+        WITH ex AS (
+          SELECT i, CAST(embedding[i] AS DOUBLE) AS v
+          FROM '{SF}/embeddings.parquet',
+               LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+        )
+        SELECT max(max_v - min_v) FROM (
+          SELECT i, min(v) AS min_v, max(v) AS max_v FROM ex GROUP BY i)
+    """).fetchone()[0]
+    half_bin = widest / 255.0 / 2.0
+    for r in rows:
+        assert 0.0 <= r["mean_abs_err"] <= r["max_abs_err"], r
+        assert r["max_abs_err"] <= half_bin + 1e-9, (r, half_bin)
