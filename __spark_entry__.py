@@ -304,6 +304,8 @@ _BEYOND_GATE = (
     "video_scene_cuts",
     "url_strip_tracking",
     "embedding_int8_quant",
+    "robots_failure_policy",
+    "image_blockiness_detect",
 )
 
 

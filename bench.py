@@ -118,6 +118,8 @@ HEADLINE = [
     "video_scene_cuts",
     "url_strip_tracking",
     "embedding_int8_quant",
+    "robots_failure_policy",
+    "image_blockiness_detect",
     "phash_knn",
 ]
 

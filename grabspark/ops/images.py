@@ -1096,6 +1096,90 @@ def image_pixel_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- blockiness / compression-artifact detection ---------------------------------
+#
+# Heavily-compressed images show 8x8 block-boundary discontinuities
+# (the JPEG artifact): the gradient across tile boundaries dwarfs the
+# gradient inside tiles.  The detector sums absolute horizontal
+# differences over all channels, split into boundary columns (x % 8 == 0)
+# vs interior columns, and flags when the per-column boundary mean
+# exceeds _BLOCKY_RATIO x the interior mean (integer cross-multiply, no
+# division).  The corpus plants '#blocky' twins (8x8 tile means): their
+# interior gradient collapses to ~0 while boundaries stay strong; PRNG
+# originals show equal means on both sides.
+#
+# 100 TB shape: one Arrow decode pass, per-row integer decision, no
+# shuffle.  Graded against an explicit scalar-loop golden.
+
+BLOCKY_EVERY = 6
+_BLOCKY_RATIO = 3
+_BLOCKY_SCHEMA = (
+    "image_id string, boundary_sum bigint, n_boundary bigint, "
+    "interior_sum bigint, n_interior bigint, is_blocky boolean"
+)
+
+
+def build_blocky_corpus() -> pd.DataFrame:
+    """Image corpus + '#blocky' twins (every 8x8 tile replaced by its
+    integer-mean color, same codec)."""
+    base = build_image_corpus()
+    rows = []
+    for i, r in enumerate(base.itertuples(index=False)):
+        rows.append(tuple(r))
+        if i % BLOCKY_EVERY == 0:
+            px = imaging.decode_image(r.bytes, int(r.w), int(r.h), r.fmt)
+            h, w = px.shape[0], px.shape[1]
+            out = px.copy()
+            for by in range(0, h, 8):
+                for bx in range(0, w, 8):
+                    tile = px[by : by + 8, bx : bx + 8, :]
+                    mean = tile.reshape(-1, 3).sum(axis=0, dtype=np.int64) // (
+                        tile.shape[0] * tile.shape[1]
+                    )
+                    out[by : by + 8, bx : bx + 8, :] = mean.astype(np.uint8)
+            rows.append(
+                (r.image_id + "#blocky", imaging.encode_image(out, r.fmt),
+                 int(r.w), int(r.h), r.fmt)
+            )
+    return pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
+
+
+def blockiness_kernel(px: np.ndarray) -> tuple[int, int, int, int, bool]:
+    """(boundary_sum, n_boundary, interior_sum, n_interior, is_blocky):
+    per-column-class absolute horizontal gradient sums, all int64."""
+    g = px.astype(np.int64)
+    h, w = g.shape[0], g.shape[1]
+    diffs = np.abs(g[:, 1:, :] - g[:, :-1, :]).sum(axis=(0, 2))  # per column x=1..w-1
+    xs = np.arange(1, w)
+    on_boundary = xs % 8 == 0
+    bsum = int(diffs[on_boundary].sum())
+    isum = int(diffs[~on_boundary].sum())
+    nb = int(on_boundary.sum())
+    ni = int((~on_boundary).sum())
+    blocky = nb > 0 and bsum * ni > _BLOCKY_RATIO * isum * nb
+    return bsum, nb, isum, ni, blocky
+
+
+def image_blockiness_detect(spark: SparkSession, sf: str) -> DataFrame:
+    """(image_id, boundary_sum, n_boundary, interior_sum, n_interior,
+    is_blocky) over the blocky corpus."""
+
+    def kernel(it):
+        for pdf in it:
+            out = []
+            for r in pdf.itertuples(index=False):
+                px = imaging.decode_image(r.bytes, int(r.w), int(r.h), r.fmt)
+                out.append((r.image_id,) + blockiness_kernel(px))
+            yield pd.DataFrame(
+                out,
+                columns=["image_id", "boundary_sum", "n_boundary",
+                         "interior_sum", "n_interior", "is_blocky"],
+            )
+
+    corpus = _corpus_pdf_df(spark, build_blocky_corpus(), "grabspark-blockycorpus-")
+    return corpus.mapInPandas(kernel, _BLOCKY_SCHEMA)
+
+
 # --- composed multimodal curation ----------------------------------------------
 #
 # The full LAION-style keep/drop decision over image+caption PAIRS —
@@ -1279,6 +1363,7 @@ QUERIES = {
     "image_exposure_detect": image_exposure_detect,
     "image_pixel_dedup": image_pixel_dedup,
     "image_dhash_near_dup": image_dhash_near_dup,
+    "image_blockiness_detect": image_blockiness_detect,
 }
 
 ORACLES = {
@@ -1323,5 +1408,8 @@ ORACLES = {
     ),
     "image_dhash_near_dup": (
         f"SELECT * FROM read_parquet('{os.path.join(_GOLDEN, 'image_dhash_near_dup.parquet')}')"
+    ),
+    "image_blockiness_detect": (
+        f"SELECT * FROM read_parquet('{os.path.join(_GOLDEN, 'image_blockiness_detect.parquet')}')"
     ),
 }

@@ -1078,6 +1078,60 @@ FROM clean GROUP BY clean_url
 """
 
 
+# --- robots fetch-failure policy -------------------------------------------------
+#
+# RFC 9309 §2.3.1 "Unavailable" / "Unreachable" semantics — the robots
+# behavior crawls get wrong most often: a 4xx robots.txt means the site
+# has NO robots file (crawl everything), while a 5xx/timeout means the
+# crawler MUST assume complete disallow until a fresh fetch succeeds
+# (stale cached rules may be reused within 24h; modeled as cache_age).
+# The op derives each host's effective policy from its robots-fetch
+# outcome; the oracle is the closed form of the spec table.
+
+_ROBOTS_CACHE_TTL_H = 24
+
+
+def robots_failure_policy(spark: SparkSession, sf: str) -> DataFrame:
+    """(host, status, cache_age_h, policy): policy in
+    {'parse_rules', 'allow_all', 'use_cached', 'deny_all'}."""
+    n = T(spark, sf, "nation")
+    outcomes = n.select(
+        F.concat(F.lit("r"), F.col("n_nationkey").cast("string"), F.lit(".test")).alias(
+            "host"
+        ),
+        F.expr(
+            "element_at(array(200, 404, 403, 503, 500, 429), "
+            "CAST(n_nationkey % 6 AS INT) + 1)"
+        ).alias("status"),
+        F.expr("CAST(n_nationkey * 7 % 40 AS INT)").alias("cache_age_h"),
+    )
+    return outcomes.withColumn(
+        "policy",
+        F.expr(
+            "CASE WHEN status < 300 THEN 'parse_rules' "
+            "WHEN status >= 400 AND status < 500 AND status != 429 THEN 'allow_all' "
+            f"WHEN cache_age_h < {_ROBOTS_CACHE_TTL_H} THEN 'use_cached' "
+            "ELSE 'deny_all' END"
+        ),
+    )
+
+
+_ROBOTS_POLICY_SQL = f"""
+SELECT host, status, cache_age_h,
+       CASE WHEN status < 300 THEN 'parse_rules'
+            WHEN status >= 400 AND status < 500 AND status <> 429 THEN 'allow_all'
+            WHEN cache_age_h < {_ROBOTS_CACHE_TTL_H} THEN 'use_cached'
+            ELSE 'deny_all' END AS policy
+FROM (
+  SELECT concat('r', CAST(n_nationkey AS VARCHAR), '.test') AS host,
+         CASE CAST(n_nationkey % 6 AS INT) WHEN 0 THEN 200 WHEN 1 THEN 404
+              WHEN 2 THEN 403 WHEN 3 THEN 503 WHEN 4 THEN 500 ELSE 429 END AS status,
+         CAST(n_nationkey * 7 % 40 AS INT) AS cache_age_h
+  FROM nation
+)
+"""
+
+
 # --- re-crawl prioritization --------------------------------------------------
 #
 # The scheduling policy a continuous crawl runs over its fetch log: hosts
@@ -2035,6 +2089,7 @@ QUERIES = {
     "mirror_host_detect": mirror_host_detect,
     "domain_budget_rollup": domain_budget_rollup,
     "url_strip_tracking": url_strip_tracking,
+    "robots_failure_policy": robots_failure_policy,
 }
 
 ORACLES = {
@@ -2074,4 +2129,5 @@ ORACLES = {
     "mirror_host_detect": _MIRROR_SQL,
     "domain_budget_rollup": _DOMAIN_SQL,
     "url_strip_tracking": _STRIP_SQL,
+    "robots_failure_policy": _ROBOTS_POLICY_SQL,
 }

@@ -202,6 +202,38 @@ def build_image_dhash_neardup_golden() -> pd.DataFrame:
     return out
 
 
+def build_image_blockiness_golden() -> pd.DataFrame:
+    """INDEPENDENT blockiness golden: explicit scalar loops over pixels
+    (no numpy diff/mask vectorization); same all-integer contract."""
+    from grabspark import imaging
+    from grabspark.ops import images as im
+
+    pdf = im.build_blocky_corpus()
+    rows = []
+    for r in pdf.itertuples(index=False):
+        px = imaging.decode_image(r.bytes, int(r.w), int(r.h), r.fmt)
+        h, w = px.shape[0], px.shape[1]
+        bsum = isum = nb = ni = 0
+        for x in range(1, w):
+            s = 0
+            for y in range(h):
+                for c in range(3):
+                    s += abs(int(px[y, x, c]) - int(px[y, x - 1, c]))
+            if x % 8 == 0:
+                bsum += s
+                nb += 1
+            else:
+                isum += s
+                ni += 1
+        blocky = nb > 0 and bsum * ni > im._BLOCKY_RATIO * isum * nb
+        rows.append((r.image_id, bsum, nb, isum, ni, blocky))
+    return pd.DataFrame(
+        rows,
+        columns=["image_id", "boundary_sum", "n_boundary",
+                 "interior_sum", "n_interior", "is_blocky"],
+    )
+
+
 def _golden_image_corpus() -> pd.DataFrame:
     """Independent re-statement of the shared image corpus (48 store
     images + every-3rd re-encoded twin; same spec literal as
@@ -772,6 +804,7 @@ def main(sf_dirs: list[str]) -> None:
         ("image_exposure_detect", build_image_exposure_golden),
         ("image_pixel_dedup", build_image_pixel_dedup_golden),
         ("image_dhash_near_dup", build_image_dhash_neardup_golden),
+        ("image_blockiness_detect", build_image_blockiness_golden),
     ):
         pdf = builder()
         out = os.path.join(GOLDEN_DIR, f"{name}.parquet")

@@ -474,3 +474,42 @@ def test_int8_quant_error_within_half_bin(spark):
     for r in rows:
         assert 0.0 <= r["mean_abs_err"] <= r["max_abs_err"], r
         assert r["max_abs_err"] <= half_bin + 1e-9, (r, half_bin)
+
+
+def test_robots_failure_policy_spec_table(spark):
+    """RFC 9309 2.3.1 semantics: 2xx parses, plain 4xx allows all, 429
+    and 5xx deny (or reuse a fresh cache); all four policies occur at
+    fixture scale."""
+    from grabspark.ops.relational import robots_failure_policy
+
+    rows = robots_failure_policy(spark, SF).collect()
+    seen = set()
+    for r in rows:
+        seen.add(r["policy"])
+        if r["status"] == 200:
+            assert r["policy"] == "parse_rules"
+        elif r["status"] in (403, 404):
+            assert r["policy"] == "allow_all"
+        else:  # 429 / 5xx
+            assert r["policy"] in ("use_cached", "deny_all")
+            assert (r["policy"] == "use_cached") == (r["cache_age_h"] < 24), r
+    assert seen == {"parse_rules", "allow_all", "use_cached", "deny_all"}, seen
+
+
+def test_blockiness_separates_planted_tiles(spark):
+    """Every '#blocky' tile-averaged twin is flagged; no PRNG original
+    is; blocky twins' interior gradient collapses far below the
+    boundary gradient while originals are balanced."""
+    from grabspark.ops.images import image_blockiness_detect
+
+    rows = {r["image_id"]: r for r in image_blockiness_detect(spark, SF).collect()}
+    blocky = [k for k in rows if k.endswith("#blocky")]
+    assert blocky
+    for k, r in rows.items():
+        assert r["is_blocky"] == k.endswith("#blocky"), k
+        if not k.endswith("#blocky") and r["n_boundary"] > 0:
+            # PRNG balance: per-column means within 2x of each other
+            assert (
+                r["boundary_sum"] * r["n_interior"]
+                < 2 * r["interior_sum"] * r["n_boundary"]
+            ), k
