@@ -306,6 +306,7 @@ _BEYOND_GATE = (
     "embedding_int8_quant",
     "robots_failure_policy",
     "image_blockiness_detect",
+    "ann_prefix_dim_recall",
 )
 
 

@@ -120,6 +120,7 @@ HEADLINE = [
     "embedding_int8_quant",
     "robots_failure_policy",
     "image_blockiness_detect",
+    "ann_prefix_dim_recall",
     "phash_knn",
 ]
 

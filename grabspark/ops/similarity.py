@@ -927,6 +927,89 @@ FROM rec JOIN ncand ON rec.method = ncand.method, total
 """
 
 
+# --- prefix-dimension truncation recall audit ------------------------------------
+#
+# Dimension truncation is the other cheap ANN speedup (use only the
+# first k dims for candidate generation, full vectors to re-rank —
+# matryoshka-style retrieval, public).  The audit compares exact top-10
+# under the full 64 dims vs the first-16-dim prefix and reports the
+# overlap: the number the truncation decision actually needs.  On the
+# fixture's iid PRNG embeddings the measured recall is ~10% — the WORST
+# case by construction (no information concentrates in the prefix;
+# matryoshka-trained embeddings put most of it there), which is exactly
+# why a pipeline runs this audit before enabling truncation.  Same
+# fixed-order double arithmetic as ann_cosine_topk, so both engines
+# agree bit-for-bit before rounding.
+
+_PREFIX_DIMS = 16
+
+
+def ann_prefix_dim_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """One row: (k, prefix_dims, hits, recall_pct) — overlap of exact
+    top-10 (full dims) with top-10 computed on the first-16-dim
+    prefix."""
+    e = T(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("b"),
+        F.expr(f"slice(embedding, 1, {_PREFIX_DIMS})").alias("bp"),
+    )
+    j2 = (
+        e.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.col("embedding").alias("a"),
+            F.expr(f"slice(embedding, 1, {_PREFIX_DIMS})").alias("ap"),
+        )
+        .crossJoin(F.broadcast(q))
+    )
+    full = j2.select(
+        "vec_id",
+        F.expr(f"round({_DOT} / ({_NORM.format(c='a')} * {_NORM.format(c='b')}), 6)").alias("s"),
+    ).orderBy(F.desc("s"), F.asc("vec_id")).limit(10)
+    pdot = _DOT.replace("(a, b", "(ap, bp")
+    pref = j2.select(
+        "vec_id",
+        F.expr(
+            f"round({pdot} / ({_NORM.format(c='ap')} * {_NORM.format(c='bp')}), 6)"
+        ).alias("s"),
+    ).orderBy(F.desc("s"), F.asc("vec_id")).limit(10)
+    hits = full.select("vec_id").intersect(pref.select("vec_id")).count()
+    return spark.createDataFrame(
+        [(10, _PREFIX_DIMS, hits, hits * 10)],
+        "k int, prefix_dims int, hits int, recall_pct int",
+    )
+
+
+_PREFIX_SQL = f"""
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS b, (embedding::DOUBLE[])[1:{_PREFIX_DIMS}] AS bp
+  FROM embeddings WHERE vec_id = 0
+),
+full_top AS (
+  SELECT vec_id FROM (
+    SELECT vec_id,
+           round(list_dot_product(embedding::DOUBLE[], q.b)
+                 / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(q.b, q.b))), 6) AS s
+    FROM embeddings, q WHERE vec_id <> 0
+  ) ORDER BY s DESC, vec_id ASC LIMIT 10
+),
+pref_top AS (
+  SELECT vec_id FROM (
+    SELECT vec_id,
+           round(list_dot_product((embedding::DOUBLE[])[1:{_PREFIX_DIMS}], q.bp)
+                 / (sqrt(list_dot_product((embedding::DOUBLE[])[1:{_PREFIX_DIMS}],
+                                          (embedding::DOUBLE[])[1:{_PREFIX_DIMS}]))
+                    * sqrt(list_dot_product(q.bp, q.bp))), 6) AS s
+    FROM embeddings, q WHERE vec_id <> 0
+  ) ORDER BY s DESC, vec_id ASC LIMIT 10
+)
+SELECT 10 AS k, {_PREFIX_DIMS} AS prefix_dims,
+       CAST((SELECT count(*) FROM full_top WHERE vec_id IN (SELECT vec_id FROM pref_top)) AS INT) AS hits,
+       CAST((SELECT count(*) FROM full_top WHERE vec_id IN (SELECT vec_id FROM pref_top)) * 10 AS INT) AS recall_pct
+"""
+
+
 # --- int8 scalar quantization audit ----------------------------------------------
 #
 # The storage trade that makes billion-vector ANN feasible: float32
@@ -1003,6 +1086,7 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_recall_report": ann_recall_report,
     "embedding_int8_quant": embedding_int8_quant,
+    "ann_prefix_dim_recall": ann_prefix_dim_recall,
 }
 
 ORACLES = {
@@ -1020,4 +1104,5 @@ ORACLES = {
     "dedup_embedding_cosine": _DEDUP_COS_SQL,
     "ann_recall_report": _RECALL_SQL,
     "embedding_int8_quant": _QUANT_SQL,
+    "ann_prefix_dim_recall": _PREFIX_SQL,
 }

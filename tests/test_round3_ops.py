@@ -513,3 +513,15 @@ def test_blockiness_separates_planted_tiles(spark):
                 r["boundary_sum"] * r["n_interior"]
                 < 2 * r["interior_sum"] * r["n_boundary"]
             ), k
+
+
+def test_prefix_dim_recall_consistency(spark):
+    """The audit's bookkeeping is self-consistent (recall = hits*10,
+    0 <= hits <= k) and its full-dimension side reproduces
+    ann_cosine_topk's exact answer."""
+    from grabspark.ops.similarity import ann_cosine_topk, ann_prefix_dim_recall
+
+    (r,) = ann_prefix_dim_recall(spark, SF).collect()
+    assert 0 <= r["hits"] <= r["k"] == 10
+    assert r["recall_pct"] == r["hits"] * 10
+    assert len(ann_cosine_topk(spark, SF).collect()) == 10
