@@ -307,6 +307,7 @@ _BEYOND_GATE = (
     "robots_failure_policy",
     "image_blockiness_detect",
     "ann_prefix_dim_recall",
+    "bloom_sizing_plan",
 )
 
 

@@ -121,6 +121,7 @@ HEADLINE = [
     "robots_failure_policy",
     "image_blockiness_detect",
     "ann_prefix_dim_recall",
+    "bloom_sizing_plan",
     "phash_knn",
 ]
 

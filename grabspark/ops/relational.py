@@ -1784,6 +1784,88 @@ GROUP BY 1
 """
 
 
+# --- Bloom sizing plan -----------------------------------------------------------
+#
+# The provisioning math between the cardinality sketch and the seen
+# filter: given n keys per shard and a target false-positive rate p,
+# the optimal filter is m = -n ln p / ln^2 2 bits with k = (m/n) ln 2
+# hashes (standard public formulas; bloom.py sizes its shards with the
+# same rule).  The plan rounds m up to a power of two (the shard mmap
+# granularity) via INTEGER bit-length — not ceil(log2(x)), whose 1-ulp
+# error flips exact powers — and reports the expected fpp at the chosen
+# (m, k) so over/under-provisioning is visible.  At 10^10 keys n comes
+# from the HLL sketch; the gate grades the math on exact counts.
+
+_BLOOM_TARGET_FPP = 0.01
+_LN2 = 0.6931471805599453
+
+
+def bloom_sizing_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """(host, n_keys, m_bits, k_hashes, expected_fpp) — per-shard Bloom
+    provisioning for the frontier fixture's hosts."""
+    o = T(spark, sf, "orders")
+    u = o.select(
+        F.expr("concat('h', CAST(o_orderkey % 7 AS STRING), '.test')").alias("host"),
+        F.expr(_URL_BUILD).alias("url"),
+    )
+    per = u.groupBy("host").agg(F.countDistinct("url").alias("n_keys"))
+    import math
+
+    ln_p = math.log(_BLOOM_TARGET_FPP)
+    m_opt = f"CAST(ceil(-n_keys * {ln_p!r} / ({_LN2!r} * {_LN2!r})) AS BIGINT)"
+    m_bits = (
+        f"CAST(CASE WHEN ({m_opt} & ({m_opt} - 1)) = 0 THEN {m_opt} "
+        f"ELSE CAST(power(2.0, length(bin({m_opt}))) AS BIGINT) END AS BIGINT)"
+    )
+    plan = per.select(
+        "host",
+        "n_keys",
+        F.expr(m_bits).alias("m_bits"),
+    ).select(
+        "host",
+        "n_keys",
+        "m_bits",
+        F.expr(
+            f"greatest(CAST(floor(m_bits * {_LN2!r} / n_keys + 0.5) AS BIGINT), 1L)"
+        ).alias("k_hashes"),
+    )
+    return plan.withColumn(
+        "expected_fpp",
+        F.expr(
+            "round(power(1.0 - exp(-(CAST(k_hashes AS DOUBLE) * n_keys) / m_bits), "
+            "CAST(k_hashes AS DOUBLE)), 6)"
+        ),
+    )
+
+
+def _bloom_plan_sql() -> str:
+    import math
+
+    ln_p = math.log(_BLOOM_TARGET_FPP)
+    m_opt = f"CAST(ceil(-n_keys * {ln_p!r} / ({_LN2!r} * {_LN2!r})) AS BIGINT)"
+    m_bits = (
+        f"CAST(CASE WHEN ({m_opt} & ({m_opt} - 1)) = 0 THEN {m_opt} "
+        f"ELSE CAST(power(2.0, length(bin({m_opt}))) AS BIGINT) END AS BIGINT)"
+    )
+    return f"""
+WITH per AS (
+  SELECT concat('h', CAST(o_orderkey % 7 AS VARCHAR), '.test') AS host,
+         count(DISTINCT {_URL_BUILD_DUCK}) AS n_keys
+  FROM orders GROUP BY 1
+),
+m AS (SELECT host, n_keys, {m_bits} AS m_bits FROM per),
+k AS (
+  SELECT host, n_keys, m_bits,
+         greatest(CAST(floor(m_bits * {_LN2!r} / n_keys + 0.5) AS BIGINT), 1) AS k_hashes
+  FROM m
+)
+SELECT host, n_keys, m_bits, k_hashes,
+       round(power(1.0 - exp(-(CAST(k_hashes AS DOUBLE) * n_keys) / m_bits),
+                   CAST(k_hashes AS DOUBLE)), 6) AS expected_fpp
+FROM k
+"""
+
+
 # --- rendezvous frontier sharding ------------------------------------------------
 #
 # How a 10^10 frontier maps hosts onto executors/shards without a
@@ -2090,6 +2172,7 @@ QUERIES = {
     "domain_budget_rollup": domain_budget_rollup,
     "url_strip_tracking": url_strip_tracking,
     "robots_failure_policy": robots_failure_policy,
+    "bloom_sizing_plan": bloom_sizing_plan,
 }
 
 ORACLES = {
@@ -2130,4 +2213,5 @@ ORACLES = {
     "domain_budget_rollup": _DOMAIN_SQL,
     "url_strip_tracking": _STRIP_SQL,
     "robots_failure_policy": _ROBOTS_POLICY_SQL,
+    "bloom_sizing_plan": _bloom_plan_sql(),
 }

@@ -525,3 +525,23 @@ def test_prefix_dim_recall_consistency(spark):
     assert 0 <= r["hits"] <= r["k"] == 10
     assert r["recall_pct"] == r["hits"] * 10
     assert len(ann_cosine_topk(spark, SF).collect()) == 10
+
+
+def test_bloom_sizing_plan_hits_target_fpp(spark):
+    """Provisioning contract: m_bits is a power of two at least the
+    optimal size, k >= 1, and the expected fpp at the chosen (m, k) is
+    at or below the 1% target (power-of-two rounding only ever
+    over-provisions)."""
+    import math
+
+    from grabspark.ops.relational import _BLOOM_TARGET_FPP, bloom_sizing_plan
+
+    rows = bloom_sizing_plan(spark, SF).collect()
+    assert rows
+    for r in rows:
+        m, n, k = r["m_bits"], r["n_keys"], r["k_hashes"]
+        assert m & (m - 1) == 0 and m > 0, r
+        m_opt = math.ceil(-n * math.log(_BLOOM_TARGET_FPP) / math.log(2) ** 2)
+        assert m >= m_opt, r
+        assert k >= 1
+        assert r["expected_fpp"] <= _BLOOM_TARGET_FPP + 1e-9, r
