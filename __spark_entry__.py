@@ -308,6 +308,7 @@ _BEYOND_GATE = (
     "image_blockiness_detect",
     "ann_prefix_dim_recall",
     "bloom_sizing_plan",
+    "image_resize_plan",
 )
 
 

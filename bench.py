@@ -122,6 +122,7 @@ HEADLINE = [
     "image_blockiness_detect",
     "ann_prefix_dim_recall",
     "bloom_sizing_plan",
+    "image_resize_plan",
     "phash_knn",
 ]
 

@@ -1180,6 +1180,62 @@ def image_blockiness_detect(spark: SparkSession, sf: str) -> DataFrame:
     return corpus.mapInPandas(kernel, _BLOCKY_SCHEMA)
 
 
+# --- metadata-only resize planning ----------------------------------------------
+#
+# Resize planning must NOT decode: at 100 TB the plan (target dims per
+# image) is computed from the (w, h) metadata columns alone and only
+# the executing resize touches bytes.  Target: fit into a _RESIZE_MAX
+# max edge preserving aspect ratio (never upscale), then round each
+# edge UP to a multiple of 8 (codec/tensor alignment), all integer
+# arithmetic (scale in basis points, ceil-div rounding).  The scan must
+# prune the binary column — plan-guarded.
+
+_RESIZE_MAX = 32  # fixture images are 20-60 px; 32 exercises both branches
+
+
+def image_resize_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """(image_id, w, h, target_w, target_h, scale_bp, needs_resize) —
+    integer resize plan from metadata only (no decode)."""
+    corpus = _corpus_df(spark).select("image_id", "w", "h")
+    scale_bp = (
+        f"CAST(least(10000 * {_RESIZE_MAX} DIV greatest(w, h), 10000) AS BIGINT)"
+    )
+    plan = corpus.withColumn("scale_bp", F.expr(scale_bp))
+    tw = "CAST(((w * scale_bp + 9999) DIV 10000 + 7) DIV 8 * 8 AS INT)"
+    th = "CAST(((h * scale_bp + 9999) DIV 10000 + 7) DIV 8 * 8 AS INT)"
+    return plan.select(
+        "image_id",
+        "w",
+        "h",
+        F.expr(tw).alias("target_w"),
+        F.expr(th).alias("target_h"),
+        "scale_bp",
+        (F.col("scale_bp") < 10000).alias("needs_resize"),
+    )
+
+
+# The oracle re-derives the plan from the corpus golden's metadata —
+# committed parquet (image_id, w, h) written by make_golden, so the
+# arithmetic is recomputed by DuckDB on identical inputs.
+
+
+def _resize_plan_sql() -> str:
+    path = os.path.join(_GOLDEN, "image_corpus_meta.parquet")
+    return f"""
+WITH plan AS (
+  SELECT image_id, w, h,
+         least(10000 * {_RESIZE_MAX} // greatest(w, h), 10000) AS scale_bp
+  FROM read_parquet('{path}')
+)
+SELECT image_id, w, h,
+       CAST(((w * scale_bp + 9999) // 10000 + 7) // 8 * 8 AS INT) AS target_w,
+       CAST(((h * scale_bp + 9999) // 10000 + 7) // 8 * 8 AS INT) AS target_h,
+       CAST(scale_bp AS BIGINT) AS scale_bp,
+       scale_bp < 10000 AS needs_resize
+FROM plan
+"""
+
+
 # --- composed multimodal curation ----------------------------------------------
 #
 # The full LAION-style keep/drop decision over image+caption PAIRS —
@@ -1364,6 +1420,7 @@ QUERIES = {
     "image_pixel_dedup": image_pixel_dedup,
     "image_dhash_near_dup": image_dhash_near_dup,
     "image_blockiness_detect": image_blockiness_detect,
+    "image_resize_plan": image_resize_plan,
 }
 
 ORACLES = {
@@ -1412,4 +1469,5 @@ ORACLES = {
     "image_blockiness_detect": (
         f"SELECT * FROM read_parquet('{os.path.join(_GOLDEN, 'image_blockiness_detect.parquet')}')"
     ),
+    "image_resize_plan": _resize_plan_sql(),
 }

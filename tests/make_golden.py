@@ -234,6 +234,17 @@ def build_image_blockiness_golden() -> pd.DataFrame:
     )
 
 
+def build_image_corpus_meta() -> pd.DataFrame:
+    """(image_id, w, h) of the shared corpus — the metadata side input
+    the resize-plan oracle recomputes the arithmetic from."""
+    from grabspark.ops import images as im
+
+    pdf = im.build_image_corpus()[["image_id", "w", "h"]].copy()
+    pdf["w"] = pdf["w"].astype("int32")
+    pdf["h"] = pdf["h"].astype("int32")
+    return pdf
+
+
 def _golden_image_corpus() -> pd.DataFrame:
     """Independent re-statement of the shared image corpus (48 store
     images + every-3rd re-encoded twin; same spec literal as
@@ -805,6 +816,7 @@ def main(sf_dirs: list[str]) -> None:
         ("image_pixel_dedup", build_image_pixel_dedup_golden),
         ("image_dhash_near_dup", build_image_dhash_neardup_golden),
         ("image_blockiness_detect", build_image_blockiness_golden),
+        ("image_corpus_meta", build_image_corpus_meta),
     ):
         pdf = builder()
         out = os.path.join(GOLDEN_DIR, f"{name}.parquet")

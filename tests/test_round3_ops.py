@@ -545,3 +545,28 @@ def test_bloom_sizing_plan_hits_target_fpp(spark):
         assert m >= m_opt, r
         assert k >= 1
         assert r["expected_fpp"] <= _BLOOM_TARGET_FPP + 1e-9, r
+
+
+def test_resize_plan_contract_and_no_decode(spark):
+    """Plan math: never upscale, both target edges multiples of 8,
+    scaled edge fits the 32 cap after alignment slack; the physical
+    scan prunes the binary column (metadata-only planning)."""
+    from grabspark.ops.images import _RESIZE_MAX, image_resize_plan
+
+    df = image_resize_plan(spark, SF)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r["target_w"] % 8 == 0 and r["target_h"] % 8 == 0, r
+        assert r["scale_bp"] <= 10000
+        assert r["needs_resize"] == (max(r["w"], r["h"]) > _RESIZE_MAX)
+        if r["needs_resize"]:
+            # ceil-to-8 adds at most 7 px over the scaled edge
+            assert max(r["target_w"], r["target_h"]) <= _RESIZE_MAX + 7, r
+        else:
+            assert (r["target_w"], r["target_h"]) == (
+                (r["w"] + 7) // 8 * 8, (r["h"] + 7) // 8 * 8
+            )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "bytes" not in scan_schema, scan_schema
