@@ -309,6 +309,7 @@ _BEYOND_GATE = (
     "ann_prefix_dim_recall",
     "bloom_sizing_plan",
     "image_resize_plan",
+    "containment_dedup",
 )
 
 

@@ -123,6 +123,7 @@ HEADLINE = [
     "ann_prefix_dim_recall",
     "bloom_sizing_plan",
     "image_resize_plan",
+    "containment_dedup",
     "phash_knn",
 ]
 

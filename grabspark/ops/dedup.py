@@ -1020,6 +1020,107 @@ FROM b
 """
 
 
+# --- containment / quotation detection -------------------------------------------
+#
+# The dedup family Jaccard misses: a SHORT doc fully contained in a
+# long one (syndicated snippet, quoted lead paragraph) has low set
+# similarity but is still a duplicate to strip.  Candidates come from
+# the inverted-index shape over shared 16-gram hashes (a snippet shares
+# ALL its grams with its source, so >= _CONTAIN_MIN_SHARED shared grams
+# prunes to near-certain pairs); the verify is exact substring search
+# on the candidate pairs only.  Snippets are derived from the documents
+# fixture: every 7th doc contributes a true substring, every 14th a
+# MUTATED one (one char flipped) that shares most grams but must be
+# rejected by the exact verify — the case candidate-generation alone
+# gets wrong.
+
+_CONTAIN_GRAM = 16
+_CONTAIN_MIN_SHARED = 3
+
+
+def containment_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """(snip_id, doc_id, shared_grams, contained): candidate snippet ->
+    source pairs with the exact-substring verdict."""
+    d = T(spark, sf, "documents").select("doc_id", "text")
+    snips = d.filter(F.expr("doc_id % 7 = 0")).select(
+        F.concat(F.lit("s"), F.col("doc_id").cast("string")).alias("snip_id"),
+        F.expr(
+            "CASE WHEN doc_id % 14 = 0 THEN "
+            "concat(substring(text, 9, 40), 'Z', substring(text, 50, 39)) "
+            "ELSE substring(text, 9, 80) END"
+        ).alias("snip"),
+    ).filter(F.length("snip") >= _CONTAIN_GRAM)
+    k = _CONTAIN_GRAM
+    snip_grams = snips.select(
+        "snip_id",
+        "snip",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform(sequence(1, greatest(length(snip) - {k - 1}, 1)), "
+                f"i -> md5(substring(snip, i, {k}))))"
+            )
+        ).alias("gh"),
+    )
+    doc_grams = d.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform(sequence(1, greatest(length(text) - {k - 1}, 1)), "
+                f"i -> md5(substring(text, i, {k}))))"
+            )
+        ).alias("gh"),
+    )
+    cand = (
+        snip_grams.join(doc_grams, "gh")
+        .groupBy("snip_id", "doc_id")
+        .agg(
+            F.count("*").alias("shared_grams"),
+            F.first("snip").alias("snip"),
+            F.first("text").alias("text"),
+        )
+        .filter(F.col("shared_grams") >= _CONTAIN_MIN_SHARED)
+    )
+    return cand.select(
+        "snip_id",
+        "doc_id",
+        "shared_grams",
+        F.expr("instr(text, snip) > 0").alias("contained"),
+    )
+
+
+_CONTAIN_SQL = f"""
+WITH snips AS (
+  SELECT 's' || CAST(doc_id AS VARCHAR) AS snip_id,
+         CASE WHEN doc_id % 14 = 0 THEN
+           concat(substring(text, 9, 40), 'Z', substring(text, 50, 39))
+         ELSE substring(text, 9, 80) END AS snip
+  FROM documents WHERE doc_id % 7 = 0
+),
+sg AS (
+  SELECT snip_id, snip, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(length(snip) - {_CONTAIN_GRAM - 1}, 1)),
+           i -> md5(substring(snip, i, {_CONTAIN_GRAM}))))) AS gh
+  FROM snips WHERE length(snip) >= {_CONTAIN_GRAM}
+),
+dg AS (
+  SELECT doc_id, text, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(length(text) - {_CONTAIN_GRAM - 1}, 1)),
+           i -> md5(substring(text, i, {_CONTAIN_GRAM}))))) AS gh
+  FROM documents
+),
+cand AS (
+  SELECT snip_id, doc_id, count(*) AS shared_grams,
+         min(snip) AS snip, min(text) AS text
+  FROM sg JOIN dg USING (gh)
+  GROUP BY snip_id, doc_id
+  HAVING count(*) >= {_CONTAIN_MIN_SHARED}
+)
+SELECT snip_id, doc_id, shared_grams, strpos(text, snip) > 0 AS contained
+FROM cand
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "ngram_hot_shingles": ngram_hot_shingles,
@@ -1033,6 +1134,7 @@ QUERIES = {
     "cluster_representatives": cluster_representatives,
     "decontaminate": decontaminate,
     "leakage_safe_split": leakage_safe_split,
+    "containment_dedup": containment_dedup,
 }
 
 ORACLES = {
@@ -1048,4 +1150,5 @@ ORACLES = {
     "cluster_representatives": _REPS_SQL,
     "decontaminate": _DECON_SQL,
     "leakage_safe_split": _SPLIT_SQL,
+    "containment_dedup": _CONTAIN_SQL,
 }

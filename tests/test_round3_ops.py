@@ -570,3 +570,27 @@ def test_resize_plan_contract_and_no_decode(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     scan_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
     assert "bytes" not in scan_schema, scan_schema
+
+
+def test_containment_verify_discriminates_mutations(spark):
+    """Every true snippet (doc_id % 14 != 0) is found contained in its
+    source; every mutated snippet (one char flipped) reaches the
+    candidate stage (shares grams) but is REJECTED by the exact verify
+    — the case candidate-generation alone gets wrong."""
+    from grabspark.ops.dedup import containment_dedup
+
+    rows = containment_dedup(spark, SF).collect()
+    own = {
+        r["snip_id"]: r for r in rows if r["snip_id"] == "s" + str(r["doc_id"])
+    }
+    assert own
+    truths = mutants = 0
+    for sid, r in own.items():
+        doc_id = int(sid[1:])
+        if doc_id % 14 == 0:
+            assert not r["contained"], r
+            mutants += 1
+        else:
+            assert r["contained"], r
+            truths += 1
+    assert truths and mutants
