@@ -310,6 +310,7 @@ _BEYOND_GATE = (
     "bloom_sizing_plan",
     "image_resize_plan",
     "containment_dedup",
+    "source_similarity",
 )
 
 

@@ -124,6 +124,7 @@ HEADLINE = [
     "bloom_sizing_plan",
     "image_resize_plan",
     "containment_dedup",
+    "source_similarity",
     "phash_knn",
 ]
 

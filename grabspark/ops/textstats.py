@@ -1259,6 +1259,74 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Source lexical-similarity matrix (round 3): pairwise cosine between
+# per-source token-COUNT vectors — the mixture-planning diagnostic that
+# shows which sources are lexically redundant before weights are
+# assigned.  All dot products are INTEGER sums (exact): the only float
+# is the final normalize, rounded.  Scale shape: token postings join
+# pairs sources per shared token, so work is vocab x S^2 where S
+# (#sources) is the SMALL dimension of a corpus — never doc x doc.
+
+
+def source_similarity(spark: SparkSession, sf: str) -> DataFrame:
+    """(source_a, source_b, dot, cos_sim) for every source pair."""
+    d = T(spark, sf, "documents")
+    counts = (
+        d.select("source", F.explode(F.expr(_WORD_TOKS)).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    norms = counts.groupBy("source").agg(
+        F.expr("sqrt(CAST(sum(c * c) AS DOUBLE))").alias("nrm")
+    )
+    a = counts.select(
+        F.col("source").alias("source_a"), "tok", F.col("c").alias("ca")
+    )
+    b = counts.select(
+        F.col("source").alias("source_b"), "tok", F.col("c").alias("cb")
+    )
+    dots = (
+        a.join(b, "tok")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    na = norms.select(F.col("source").alias("source_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("source").alias("source_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "dot",
+            F.expr("round(dot / (na * nb), 6)").alias("cos_sim"),
+        )
+    )
+
+
+_SRCSIM_SQL = f"""
+WITH counts AS (
+  SELECT source, tok, count(*) AS c
+  FROM (SELECT source, unnest({_WORD_TOKS_DUCK.replace('text', 'text')}) AS tok FROM documents)
+  GROUP BY source, tok
+),
+norms AS (SELECT source, sqrt(CAST(sum(c * c) AS DOUBLE)) AS nrm FROM counts GROUP BY source),
+dots AS (
+  SELECT a.source AS source_a, b.source AS source_b, sum(a.c * b.c) AS dot
+  FROM counts a JOIN counts b USING (tok)
+  WHERE a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT d.source_a, d.source_b, d.dot,
+       round(d.dot / (na.nrm * nb.nrm), 6) AS cos_sim
+FROM dots d
+JOIN norms na ON na.source = d.source_a
+JOIN norms nb ON nb.source = d.source_b
+"""
+
+
 QUERIES = {
     "text_cleanup": text_cleanup,
     "token_count": token_count,
@@ -1282,6 +1350,7 @@ QUERIES = {
     "weighted_sample": weighted_sample,
     "doc_lm_score": doc_lm_score,
     "block_shuffle_manifest": block_shuffle_manifest,
+    "source_similarity": source_similarity,
 }
 
 ORACLES = {
@@ -1307,4 +1376,5 @@ ORACLES = {
     "weighted_sample": _ES_SQL,
     "doc_lm_score": _LM_SQL,
     "block_shuffle_manifest": _SHUF_SQL,
+    "source_similarity": _SRCSIM_SQL,
 }

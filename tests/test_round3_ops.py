@@ -594,3 +594,18 @@ def test_containment_verify_discriminates_mutations(spark):
             assert r["contained"], r
             truths += 1
     assert truths and mutants
+
+
+def test_source_similarity_matrix_properties(spark):
+    """All 190 source pairs present exactly once (a < b), cosine in
+    (0, 1], and the matrix is non-degenerate (similarities vary)."""
+    from grabspark.ops.textstats import source_similarity
+
+    rows = source_similarity(spark, SF).collect()
+    pairs = {(r["source_a"], r["source_b"]) for r in rows}
+    assert len(pairs) == len(rows) == 190  # C(20, 2)
+    for a, b in pairs:
+        assert a < b
+    sims = [r["cos_sim"] for r in rows]
+    assert all(0.0 < s <= 1.0 for s in sims)
+    assert max(sims) - min(sims) > 0.001, "degenerate similarity matrix"
