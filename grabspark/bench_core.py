@@ -308,14 +308,34 @@ def run_frontier_round(
 
         might = make_might_contain(spark, bl)
         key = F.concat_ws("\x1f", F.col("seed_idx").cast("string"), F.col("url_canon"))
-        # persist the tagged candidates: the two branches of the split
-        # must not recompute the canon/dedupe/bloom chain twice
-        tagged = cand.withColumn("_maybe", might(key)).persist()
-        survivors = tagged.filter(~F.col("_maybe")).drop("_maybe").unionByName(
-            tagged.filter(F.col("_maybe"))
-            .drop("_maybe")
-            .join(seen, ["seed_idx", "url_canon"], "left_anti")
-        )
+        if os.environ.get("GRABSPARK_BLOOM_SPLIT") == "1":
+            # filter/persist/union form kept for A/B measurement: the two
+            # branches of the split must not recompute the
+            # canon/dedupe/bloom chain twice, so the tag is persisted —
+            # a full materialization of the candidate batch
+            tagged = cand.withColumn("_maybe", might(key)).persist()
+            survivors = tagged.filter(~F.col("_maybe")).drop("_maybe").unionByName(
+                tagged.filter(F.col("_maybe"))
+                .drop("_maybe")
+                .join(seen, ["seed_idx", "url_canon"], "left_anti")
+            )
+        else:
+            # Bloom folded INTO the anti-join condition: a left-anti row
+            # survives when no seen row matches (keys AND _maybe), so a
+            # bloom-negative candidate passes through without a probe —
+            # same rows as the split form but ONE streaming pipeline:
+            # no persist (the split's full candidate materialization was
+            # the 16-thread memory wall), no union, and the equi-keys
+            # still co-partition with the bucketed seen scan (no
+            # exchange beyond the round's single candidate repartition).
+            t = cand.withColumn("_maybe", might(key))
+            survivors = t.join(
+                seen,
+                (t["seed_idx"] == seen["seed_idx"])
+                & (t["url_canon"] == seen["url_canon"])
+                & t["_maybe"],
+                "left_anti",
+            ).drop("_maybe")
     else:
         survivors = cand.join(seen, ["seed_idx", "url_canon"], "left_anti")
     if stage == "antijoin":

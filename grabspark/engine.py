@@ -362,15 +362,36 @@ class CrawlEngine:
             if est is not None and est() > cfg.bloom.max_fpp:
                 use_prefilter = False
                 self.prefilter_bypassed_rounds.append(rnd)
-        if use_prefilter:
-            # persist: the split's two branches must not recompute the
-            # dedupe/bloom chain twice
+        if use_prefilter and self.pbloom is not None:
+            # partitioned mode keeps the split+persist form: the probe
+            # repartitions on the key's SHARD (co-partitioned with the
+            # filter files), so bloom-negative rows must be separated
+            # BEFORE the anti-join or the whole batch would pay a second
+            # exchange back to url_canon; persist stops the two branches
+            # recomputing the dedupe/probe chain
             tagged = self._bloom_might_contain(cand).persist()
             sure_new = tagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
             maybe = tagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
             survivors = sure_new.unionByName(
                 maybe.join(seen_df, ["seed_idx", "url_canon"], "left_anti")
             )
+        elif use_prefilter:
+            # broadcast mode folds the Bloom verdict INTO the anti-join
+            # condition: a left-anti row survives when no seen row
+            # matches (keys AND _maybe_seen), so bloom-negatives pass
+            # through without probing the join hash table — identical
+            # rows to the split form but one streaming pipeline with no
+            # persist (the split's full-batch materialization was the
+            # measured 16-thread memory wall; BENCH/BASELINE.md) and no
+            # partitioning change (the probe is a broadcast UDF column).
+            t = self._bloom_might_contain(cand)
+            survivors = t.join(
+                seen_df,
+                (t["seed_idx"] == seen_df["seed_idx"])
+                & (t["url_canon"] == seen_df["url_canon"])
+                & t["_maybe_seen"],
+                "left_anti",
+            ).drop("_maybe_seen")
         else:
             survivors = cand.join(seen_df, ["seed_idx", "url_canon"], "left_anti")
 
