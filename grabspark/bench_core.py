@@ -287,6 +287,18 @@ def run_frontier_round(
     # difference between shuffling the frontier once and twice per round.
     # n_partitions must equal the seen/store tables' bucket count (the
     # attach DDL) for the exchange-free co-partitioned joins below
+    might = None
+    key = F.concat_ws("\x1f", F.col("seed_idx").cast("string"), F.col("url_canon"))
+    if bl is not None:
+        from .bloom import make_might_contain
+
+        might = make_might_contain(spark, bl)
+    # NOTE (measured, r3): probing on the MAP side of this exchange
+    # (tagging pre-shuffle so downstream re-reads are pure JVM) was
+    # tried and is WORSE at 16 threads (451k/183k vs 660k/672k urls/s
+    # interleaved) — it pushes the full pre-dedupe batch (1.4x rows)
+    # through a second Arrow boundary; the post-shuffle probe below
+    # touches only deduped rows.  Kept post-shuffle deliberately.
     cand = cand.repartition(n_partitions, "url_canon")
     cand = dedupe_first_occurrence(cand)
     _dbg("dedupe", cand)
@@ -304,10 +316,6 @@ def run_frontier_round(
         return _prefix_result(cand)
     tagged = None
     if bl is not None:
-        from .bloom import make_might_contain
-
-        might = make_might_contain(spark, bl)
-        key = F.concat_ws("\x1f", F.col("seed_idx").cast("string"), F.col("url_canon"))
         if os.environ.get("GRABSPARK_BLOOM_SPLIT") == "1":
             # filter/persist/union form kept for A/B measurement: the two
             # branches of the split must not recompute the
@@ -343,6 +351,10 @@ def run_frontier_round(
         if tagged is not None:
             tagged.unpersist()
         return r
+    # persist IS the right call here (measured: dropping it and relying
+    # on exchange reuse re-runs the Python bloom probe + anti-join for
+    # each of the three budget-phase consumers — 551k/299k vs 689k/676k
+    # urls/s interleaved at local[16])
     survivors = survivors.persist()
     _dbg("survivors", survivors)
 
