@@ -311,6 +311,7 @@ _BEYOND_GATE = (
     "image_resize_plan",
     "containment_dedup",
     "source_similarity",
+    "adaptive_crawl_delay",
 )
 
 

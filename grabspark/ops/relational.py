@@ -2134,6 +2134,90 @@ FROM per_host p LEFT JOIN mr USING (host)
 """
 
 
+# --- adaptive per-host crawl delay (AIMD-flavoured EWMA) ----------------------
+#
+# A continuous crawl tunes each host's politeness delay from OBSERVED
+# fetch latency, not a static robots crawl-delay: slow hosts back off,
+# fast hosts speed up (reference politeness is a fixed 1s sleep,
+# functions/main_functions.go:39 — this is its closed-loop extension).
+# The events fixture stands in for the fetch log; latency is an integer
+# Knuth-hash surrogate (same device as latency_quantile_sketch — no
+# floats anywhere near the value hash).
+#
+# The decayed average uses only the LAST K=8 fetches per host with
+# integer weights 3^j (newest j=K-1 .. wait: rk=1 newest gets 3^(K-1)
+# after inversion — see below), so the whole computation is exact
+# integer arithmetic, identically evaluable in Spark and DuckDB, and
+# O(K) state per host.
+#
+# 100 TB shape: window top-K per host compiles to a Partial
+# WindowGroupLimit (map-side cap: each task forwards at most K rows per
+# host) -> ONE shuffle on host -> tiny groupBy.  The fetch log is never
+# globally sorted and never shuffled at full width.
+
+_ACD_K = 8  # fetches remembered per host
+_ACD_LAT = "50 + (event_id * 2654435761) % 1950"  # 50..1999 ms surrogate
+
+
+def adaptive_crawl_delay(spark: SparkSession, sf: str) -> DataFrame:
+    e = T(spark, sf, "events").select(
+        F.expr("concat('h', CAST(user_id % 200 AS STRING))").alias("host"),
+        F.col("event_id"),
+        F.col("ts"),
+        F.expr(f"CAST({_ACD_LAT} AS BIGINT)").alias("lat_ms"),
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("ts"), F.desc("event_id"))
+    recent = e.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= _ACD_K)
+    # rk=1 is the NEWEST fetch -> largest weight 3^(K-rk); ewma_ms is the
+    # weight-normalized integer mean (DIV is well-defined identically in
+    # Spark and DuckDB); pow() is exact in double up to 3^7
+    per = recent.groupBy("host").agg(
+        F.count("*").alias("k"),
+        F.expr(f"CAST(sum(lat_ms * CAST(pow(3, {_ACD_K} - rk) AS BIGINT)) AS BIGINT)").alias("score"),
+        F.expr(f"CAST(sum(CAST(pow(3, {_ACD_K} - rk) AS BIGINT)) AS BIGINT)").alias("norm"),
+        F.expr("max(CASE WHEN rk = 1 THEN lat_ms END)").alias("last_lat_ms"),
+    )
+    return per.select(
+        "host",
+        F.col("k").cast("int").alias("k"),
+        F.expr("CAST(score DIV norm AS BIGINT)").alias("ewma_ms"),
+        "last_lat_ms",
+        F.expr("greatest(100, least(5000, (score DIV norm) * 2))").alias("crawl_delay_ms"),
+        F.expr("CASE WHEN last_lat_ms > 2 * (score DIV norm) THEN 'backoff' "
+               "WHEN last_lat_ms * 2 < (score DIV norm) THEN 'speedup' "
+               "ELSE 'steady' END").alias("mode"),
+    )
+
+
+_ACD_SQL = f"""
+WITH e AS (
+  SELECT concat('h', CAST(user_id % 200 AS VARCHAR)) AS host, event_id, ts,
+         CAST({_ACD_LAT} AS BIGINT) AS lat_ms
+  FROM events
+),
+recent AS (
+  SELECT host, lat_ms,
+         row_number() OVER (PARTITION BY host ORDER BY ts DESC, event_id DESC) AS rk
+  FROM e QUALIFY rk <= {_ACD_K}
+),
+per AS (
+  SELECT host, count(*) AS k,
+         CAST(sum(lat_ms * CAST(power(3, {_ACD_K} - rk) AS BIGINT)) AS BIGINT) AS score,
+         CAST(sum(CAST(power(3, {_ACD_K} - rk) AS BIGINT)) AS BIGINT) AS norm,
+         max(CASE WHEN rk = 1 THEN lat_ms END) AS last_lat_ms
+  FROM recent GROUP BY host
+)
+SELECT host, CAST(k AS INT) AS k,
+       CAST(score // norm AS BIGINT) AS ewma_ms,
+       last_lat_ms,
+       greatest(100, least(5000, (score // norm) * 2)) AS crawl_delay_ms,
+       CASE WHEN last_lat_ms > 2 * (score // norm) THEN 'backoff'
+            WHEN last_lat_ms * 2 < (score // norm) THEN 'speedup'
+            ELSE 'steady' END AS mode
+FROM per
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -2173,6 +2257,7 @@ QUERIES = {
     "url_strip_tracking": url_strip_tracking,
     "robots_failure_policy": robots_failure_policy,
     "bloom_sizing_plan": bloom_sizing_plan,
+    "adaptive_crawl_delay": adaptive_crawl_delay,
 }
 
 ORACLES = {
@@ -2214,4 +2299,5 @@ ORACLES = {
     "url_strip_tracking": _STRIP_SQL,
     "robots_failure_policy": _ROBOTS_POLICY_SQL,
     "bloom_sizing_plan": _bloom_plan_sql(),
+    "adaptive_crawl_delay": _ACD_SQL,
 }

@@ -609,3 +609,32 @@ def test_source_similarity_matrix_properties(spark):
     sims = [r["cos_sim"] for r in rows]
     assert all(0.0 < s <= 1.0 for s in sims)
     assert max(sims) - min(sims) > 0.001, "degenerate similarity matrix"
+
+
+def test_adaptive_crawl_delay_matches_sequential_simulation(spark):
+    """Re-derive the per-host decayed latency mean with a literal pandas
+    walk (sort by ts, take the tail, explicit 3^j weight loop) — no
+    window functions, no SQL — and require exact integer equality."""
+    import pandas as pd
+
+    from grabspark.ops.relational import _ACD_K, adaptive_crawl_delay
+
+    rows = {r["host"]: r for r in adaptive_crawl_delay(spark, SF).collect()}
+    ev = pd.read_parquet(os.path.join(SF, "events.parquet"),
+                         columns=["event_id", "ts", "user_id"])
+    ev["host"] = "h" + (ev["user_id"] % 200).astype(str)
+    ev["lat_ms"] = 50 + (ev["event_id"] * 2654435761) % 1950
+    assert set(rows) == set(ev["host"].unique())
+    for host, grp in ev.groupby("host"):
+        tail = grp.sort_values(["ts", "event_id"]).tail(_ACD_K)
+        lats = list(tail["lat_ms"])[::-1]  # newest first
+        score = sum(int(l) * 3 ** (_ACD_K - 1 - j) for j, l in enumerate(lats))
+        norm = sum(3 ** (_ACD_K - 1 - j) for j in range(len(lats)))
+        ewma = score // norm
+        r = rows[host]
+        assert r["k"] == len(lats) and r["ewma_ms"] == ewma, (host, r)
+        assert r["last_lat_ms"] == lats[0]
+        assert r["crawl_delay_ms"] == max(100, min(5000, ewma * 2))
+        want_mode = ("backoff" if lats[0] > 2 * ewma
+                     else "speedup" if lats[0] * 2 < ewma else "steady")
+        assert r["mode"] == want_mode, (host, r)
