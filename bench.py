@@ -83,6 +83,10 @@ HEADLINE = [
     "repetition_signals",
     "decontaminate",
     "stratified_sample",
+    # near-dup edge set + component labels build once per session (the
+    # write-once artifacts of the dedup pass — ops/dedup._ngram_edges /
+    # _ngram_labels); the first interleaved pass pays the build, the min
+    # times the split assignment itself — the per-consumer at-scale cost
     "leakage_safe_split",
     "chunk_documents",
     "sitemap_parse",
