@@ -312,6 +312,7 @@ _BEYOND_GATE = (
     "containment_dedup",
     "source_similarity",
     "adaptive_crawl_delay",
+    "phash_band_recall",
 )
 
 

@@ -1404,6 +1404,137 @@ def image_batch_buckets(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- banded pHash recall audit ------------------------------------------------
+#
+# The image-axis twin of similarity.ann_recall_report: the production
+# 4x16 banding GUARANTEES recall only at hamming <= 3 (pigeonhole); this
+# audit measures recall per hamming radius 0..8 against a complete
+# within-8 ground truth, so the band-miss rate beyond the guarantee is a
+# graded number instead of folklore.
+#
+# Ground truth WITHOUT all-pairs: a FINER banding — 9 bands (eight 7-bit
+# + one 8-bit = 64) — is pigeonhole-complete at radius 8 (9 bands, <= 8
+# differing bits -> some band intact), so the exact side is itself an
+# equi-join that survives 100 TB.  The committed golden recomputes the
+# exact side with TRUE O(n^2) all-pairs python loops, independently
+# certifying the fine-banding trick's completeness.
+#
+# Radii 1..8 are populated by PLANTED signature twins: per original
+# image, r = 1 + (idx % 8) md5-derived distinct bit flips.  The flips
+# live in signature space deliberately — the audit exercises the BANDING
+# layer, not the codec.
+
+_AUDIT_RADIUS = 8
+# eight 7-bit bands + one 8-bit band = 64 bits, 9 bands > max radius
+_FINE_BANDS = [(i * 7, 7) for i in range(8)] + [(56, 8)]
+_COARSE_BANDS = [(b * _BAND_BITS, _BAND_BITS) for b in range(_BANDS)]
+
+
+def planted_flip_positions(image_id: str, r: int) -> list[int]:
+    """r distinct bit positions in [0, 64), md5-derived, deterministic —
+    shared corpus-construction primitive (the audit math itself is
+    written twice: Spark SQL here, explicit loops in make_golden)."""
+    import hashlib
+
+    pos: list[int] = []
+    j = 0
+    while len(pos) < r:
+        h = int(hashlib.md5(f"{image_id}|flip{j}".encode()).hexdigest()[:8], 16) % 64
+        if h not in pos:
+            pos.append(h)
+        j += 1
+    return pos
+
+
+def recall_audit_sigs(sigs: pd.DataFrame) -> pd.DataFrame:
+    """(image_id, sig) -> original rows + one planted flipped twin per
+    NON-variant image at radius 1 + (row_idx % 8)."""
+    rows = [(r.image_id, r.sig) for r in sigs.itertuples(index=False)]
+    idx = 0
+    for r in sigs.sort_values("image_id").itertuples(index=False):
+        if "#" in r.image_id:  # requant variants get no planted twin
+            continue
+        rad = 1 + (idx % _AUDIT_RADIUS)
+        idx += 1
+        bits = list(r.sig)
+        for p in planted_flip_positions(r.image_id, rad):
+            bits[p] = "1" if bits[p] == "0" else "0"
+        rows.append((f"{r.image_id}#flip{rad}", "".join(bits)))
+    return pd.DataFrame(rows, columns=["image_id", "sig"])
+
+
+def _band_pairs(sig: DataFrame, bands: list, max_ham: int) -> DataFrame:
+    """(img_a, img_b, hamming): candidates sharing >= 1 exact band from
+    ``bands`` [(start, length)...], verified hamming <= max_ham."""
+    allb = sig.select(
+        "image_id",
+        "sig",
+        F.posexplode(
+            F.array(*[F.substring("sig", s + 1, ln) for s, ln in bands])
+        ).alias("band", "bucket"),
+    ).persist()
+    a, b2 = allb.alias("a"), allb.alias("b")
+    cand = (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.image_id") < F.col("b.image_id")),
+        )
+        .select(
+            F.col("a.image_id").alias("img_a"),
+            F.col("b.image_id").alias("img_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    ham = (
+        "size(filter(sequence(1, 64), "
+        "i -> substring(sig_a, i, 1) != substring(sig_b, i, 1)))"
+    )
+    return (
+        cand.withColumn("hamming", F.expr(ham).cast("int"))
+        .filter(F.col("hamming") <= max_ham)
+        .select("img_a", "img_b", "hamming")
+    )
+
+
+def phash_band_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """(radius, n_exact, n_banded, recall_bp, guaranteed): per hamming
+    radius, production 4x16-band candidate recall vs the complete
+    within-8 pair set (9-band fine split)."""
+    sig = phash_signatures(_corpus_df(spark))
+
+    def plant(it):
+        chunks = [pdf for pdf in it if len(pdf)]
+        if chunks:
+            yield recall_audit_sigs(pd.concat(chunks, ignore_index=True))
+
+    # single-partition plant: the twin assignment indexes the GLOBAL
+    # sorted id order; the corpus is fixture-sized here, and at scale the
+    # audit runs on a bounded sample by design (it grades the banding
+    # layer, not the corpus)
+    sig = sig.repartition(1).mapInPandas(plant, _SIG_SCHEMA).persist()
+    exact = _band_pairs(sig, _FINE_BANDS, _AUDIT_RADIUS)
+    coarse = _band_pairs(sig, _COARSE_BANDS, _AUDIT_RADIUS)
+    ne = exact.groupBy("hamming").agg(F.count("*").alias("n_exact"))
+    nb = coarse.groupBy("hamming").agg(F.count("*").alias("n_banded"))
+    return (
+        ne.join(nb, "hamming", "left")
+        .select(
+            F.col("hamming").alias("radius"),
+            "n_exact",
+            F.coalesce(F.col("n_banded"), F.lit(0)).alias("n_banded"),
+            F.expr("CAST(coalesce(n_banded, 0) * 10000 DIV n_exact AS BIGINT)").alias(
+                "recall_bp"
+            ),
+            (F.col("hamming") <= HAM_MAX).alias("guaranteed"),
+        )
+        .orderBy("radius")
+    )
+
+
 QUERIES = {
     "image_phash_near_dup": image_phash_near_dup,
     "image_features": image_features,
@@ -1421,9 +1552,13 @@ QUERIES = {
     "image_dhash_near_dup": image_dhash_near_dup,
     "image_blockiness_detect": image_blockiness_detect,
     "image_resize_plan": image_resize_plan,
+    "phash_band_recall": phash_band_recall,
 }
 
 ORACLES = {
+    "phash_band_recall": (
+        f"SELECT * FROM read_parquet('{os.path.join(_GOLDEN, 'phash_band_recall.parquet')}')"
+    ),
     "image_phash_near_dup": (
         f"SELECT * FROM read_parquet('{os.path.join(_GOLDEN, 'image_phash_near_dup.parquet')}')"
     ),

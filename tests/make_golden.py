@@ -155,6 +155,58 @@ def build_image_neardup_golden() -> pd.DataFrame:
     return out
 
 
+def build_phash_band_recall_golden() -> pd.DataFrame:
+    """Independent audit math for phash_band_recall: TRUE O(n^2)
+    all-pairs hamming for the exact side (certifying the engine's 9-band
+    fine split is complete at radius <= 8) and explicit substring loops
+    for the production 4x16 candidate side.  Only the corpus/signature
+    CONSTRUCTION (codec, phash, planted flips) is shared."""
+    from grabspark import imaging
+    from grabspark.ops import images as im
+
+    pdf = im.build_image_corpus()
+    base = pd.DataFrame(
+        [
+            (
+                r.image_id,
+                format(
+                    imaging.phash64(
+                        imaging.decode_image(r.bytes, int(r.w), int(r.h), r.fmt)
+                    )
+                    & ((1 << 64) - 1),
+                    "064b",
+                ),
+            )
+            for r in pdf.itertuples(index=False)
+        ],
+        columns=["image_id", "sig"],
+    )
+    sigs = [(r.image_id, r.sig) for r in im.recall_audit_sigs(base).itertuples(index=False)]
+    n_exact: dict = {}
+    n_band: dict = {}
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            sa, sb = sigs[i][1], sigs[j][1]
+            d = sum(1 for x, y in zip(sa, sb) if x != y)
+            if d <= im._AUDIT_RADIUS:
+                n_exact[d] = n_exact.get(d, 0) + 1
+                if any(sa[s0:s0 + ln] == sb[s0:s0 + ln] for s0, ln in im._COARSE_BANDS):
+                    n_band[d] = n_band.get(d, 0) + 1
+    out = pd.DataFrame(
+        [
+            (r, n_exact[r], n_band.get(r, 0),
+             n_band.get(r, 0) * 10000 // n_exact[r], r <= im.HAM_MAX)
+            for r in sorted(n_exact)
+        ],
+        columns=["radius", "n_exact", "n_banded", "recall_bp", "guaranteed"],
+    )
+    out["radius"] = out["radius"].astype("int32")
+    out["n_exact"] = out["n_exact"].astype("int64")
+    out["n_banded"] = out["n_banded"].astype("int64")
+    out["recall_bp"] = out["recall_bp"].astype("int64")
+    return out
+
+
 def build_image_dhash_neardup_golden() -> pd.DataFrame:
     """INDEPENDENT dHash golden: signatures from explicit scalar loops
     (per-pixel box sums, no numpy cumsum/vectorization — exact because
@@ -817,6 +869,7 @@ def main(sf_dirs: list[str]) -> None:
         ("image_dhash_near_dup", build_image_dhash_neardup_golden),
         ("image_blockiness_detect", build_image_blockiness_golden),
         ("image_corpus_meta", build_image_corpus_meta),
+        ("phash_band_recall", build_phash_band_recall_golden),
     ):
         pdf = builder()
         out = os.path.join(GOLDEN_DIR, f"{name}.parquet")

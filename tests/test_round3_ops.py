@@ -638,3 +638,20 @@ def test_adaptive_crawl_delay_matches_sequential_simulation(spark):
         want_mode = ("backoff" if lats[0] > 2 * ewma
                      else "speedup" if lats[0] * 2 < ewma else "steady")
         assert r["mode"] == want_mode, (host, r)
+
+
+def test_phash_band_recall_guarantee_and_planted_radii(spark):
+    """The 4x16 pigeonhole guarantee must be EXACT (10000 bp at every
+    radius <= 3) and the planted flip twins must populate every audited
+    radius 1..8 — otherwise the beyond-guarantee measurements are
+    vacuous."""
+    from grabspark.ops.images import HAM_MAX, _AUDIT_RADIUS, phash_band_recall
+
+    rows = {r["radius"]: r for r in phash_band_recall(spark, SF).collect()}
+    assert set(rows) >= set(range(1, _AUDIT_RADIUS + 1)), sorted(rows)
+    for rad, r in rows.items():
+        assert r["n_exact"] > 0
+        assert r["guaranteed"] == (rad <= HAM_MAX)
+        if r["guaranteed"]:
+            assert r["recall_bp"] == 10000, r
+        assert 0 <= r["n_banded"] <= r["n_exact"]
