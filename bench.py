@@ -73,6 +73,7 @@ HEADLINE = [
     "winnow_fingerprints",
     "event_window_agg",
     "sessionize_events",
+    "adaptive_crawl_delay",
     "pagerank_hosts",
     "crawl_tiers",
     "corpus_curation",
@@ -104,6 +105,7 @@ HEADLINE = [
     "image_sharpness",
     "image_curation",
     "image_phash_near_dup",
+    "phash_band_recall",
     "image_caption_dedup",
     "image_batch_buckets",
     "multimodal_curation",
