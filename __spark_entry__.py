@@ -313,6 +313,7 @@ _BEYOND_GATE = (
     "source_similarity",
     "adaptive_crawl_delay",
     "phash_band_recall",
+    "simhash_band_recall",
 )
 
 

@@ -652,6 +652,138 @@ WHERE len(list_filter(generate_series(1, 64),
 """
 
 
+# --- SimHash band recall audit ------------------------------------------------
+#
+# The text-axis twin of images.phash_band_recall: the production 4x16
+# banding of simhash64_near_dup guarantees recall only at hamming <= 3;
+# this audit measures recall per radius 1..8 against PLANTED ground
+# truth — every 10th document gets a twin whose signature is the
+# original XOR a mask of exactly r distinct bits (r = 1 + (doc_id/10)
+# % 8, positions (start + 7k) % 64 with start md5-derived: 7 steps are
+# distinct mod 64 for k < 8, so the planted hamming is exactly r by
+# construction).  Planted-neighbor recall is the standard way to grade
+# an LSH layer when a complete ground truth would need all-pairs; the
+# probe side runs the REAL production banding over corpus + twins.
+#
+# Spark computes on packed int64 signatures (shift/xor/bit_count); the
+# DuckDB oracle recomputes everything on the independent bit-STRING
+# form (substring flips and compares) — same spec, different mechanism.
+
+_SBR_MOD = 10  # every 10th doc gets a planted twin
+_SBR_MAXR = 8
+_SBR_TWIN_OFF = 2_000_000_000
+
+
+def simhash_band_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """(radius, n_planted, n_caught, recall_bp, guaranteed)."""
+    sig = _simhash64_long_df(spark, sf)
+    start = "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 7), 16, 10) AS BIGINT) % 64"
+    radius = f"CAST(1 + (doc_id DIV {_SBR_MOD}) % {_SBR_MAXR} AS INT)"
+    mask = (
+        f"aggregate(sequence(0, {radius} - 1), CAST(0 AS BIGINT), "
+        f"(acc, k) -> acc | shiftleft(CAST(1 AS BIGINT), CAST(({start} + 7 * k) % 64 AS INT)))"
+    )
+    planted = sig.filter(F.col("doc_id") % _SBR_MOD == 0).select(
+        F.col("doc_id").alias("orig"),
+        (F.col("doc_id") + _SBR_TWIN_OFF).alias("twin"),
+        F.expr(radius).alias("radius"),
+        F.expr(f"sig ^ {mask}").alias("tsig"),
+    )
+    allsig = sig.unionByName(
+        planted.select(F.col("twin").alias("doc_id"), F.col("tsig").alias("sig"))
+    )
+    # production banding (identical shape to simhash64_near_dup), capped
+    # at the audit radius instead of the dedup threshold
+    allb = allsig.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(*[
+                (F.shiftright("sig", b * 16).bitwiseAND(F.lit(0xFFFF)))
+                for b in range(_BANDS64)
+            ])
+        ).alias("band", "bucket"),
+    )
+    a, b2 = allb.alias("a"), allb.alias("b")
+    cand = (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    caught = planted.join(
+        cand,
+        (planted["orig"] == cand["doc_a"]) & (planted["twin"] == cand["doc_b"]),
+        "left_semi",
+    )
+    np_ = planted.groupBy("radius").agg(F.count("*").alias("n_planted"))
+    nc = caught.groupBy("radius").agg(F.count("*").alias("n_caught"))
+    return (
+        np_.join(nc, "radius", "left")
+        .select(
+            "radius",
+            "n_planted",
+            F.coalesce(F.col("n_caught"), F.lit(0)).alias("n_caught"),
+            F.expr("CAST(coalesce(n_caught, 0) * 10000 DIV n_planted AS BIGINT)").alias(
+                "recall_bp"
+            ),
+            (F.col("radius") <= _HAM_MAX).alias("guaranteed"),
+        )
+        .orderBy("radius")
+    )
+
+
+def _sbr_sql() -> str:
+    start = "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 64"
+    radius = f"CAST(1 + (doc_id // {_SBR_MOD}) % {_SBR_MAXR} AS INT)"
+    # flip character at string position p+1 for each planted bit p
+    flip = (
+        "list_aggregate(list_transform(generate_series(1, 64), i -> "
+        "CASE WHEN list_contains(pos, i - 1) THEN "
+        "(CASE WHEN substring(sig, i, 1) = '1' THEN '0' ELSE '1' END) "
+        "ELSE substring(sig, i, 1) END), 'string_agg', '')"
+    )
+    return f"""
+WITH sig AS ({_simhash64_duck()}),
+planted AS (
+  SELECT doc_id AS orig, doc_id + {_SBR_TWIN_OFF} AS twin, radius, {flip} AS tsig
+  FROM (
+    SELECT doc_id, sig, {radius} AS radius,
+           list_transform(generate_series(0, {radius} - 1),
+                          k -> ({start} + 7 * k) % 64) AS pos
+    FROM sig WHERE doc_id % {_SBR_MOD} = 0
+  )
+),
+allsig AS (
+  SELECT doc_id, sig FROM sig
+  UNION ALL SELECT twin AS doc_id, tsig AS sig FROM planted
+),
+bands AS (
+  {' UNION ALL '.join(f"SELECT doc_id, {b} AS band, substring(sig, {b * 16 + 1}, 16) AS bucket FROM allsig" for b in range(_BANDS64))}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+caught AS (
+  SELECT p.radius FROM planted p
+  JOIN cand c ON p.orig = c.doc_a AND p.twin = c.doc_b
+),
+np AS (SELECT radius, count(*) AS n_planted FROM planted GROUP BY radius),
+nc AS (SELECT radius, count(*) AS n_caught FROM caught GROUP BY radius)
+SELECT np.radius, np.n_planted,
+       coalesce(nc.n_caught, 0) AS n_caught,
+       CAST(coalesce(nc.n_caught, 0) * 10000 // np.n_planted AS BIGINT) AS recall_bp,
+       np.radius <= {_HAM_MAX} AS guaranteed
+FROM np LEFT JOIN nc ON np.radius = nc.radius
+"""
+
+
 # --- near-dup clusters: connected components over the pair graph -----------
 #
 # Pair queries emit edges; DEDUPING needs clusters (keep one doc per
@@ -1172,6 +1304,7 @@ QUERIES = {
     "dedup_incremental": dedup_incremental,
     "dedup_simhash": dedup_simhash,
     "simhash64_near_dup": simhash64_near_dup,
+    "simhash_band_recall": simhash_band_recall,
     "dedup_components": dedup_components,
     "cluster_representatives": cluster_representatives,
     "decontaminate": decontaminate,
@@ -1188,6 +1321,7 @@ ORACLES = {
     "dedup_incremental": _INC_SQL,
     "dedup_simhash": _SIMHASH_SQL,
     "simhash64_near_dup": _SIMHASH64_SQL,
+    "simhash_band_recall": _sbr_sql(),
     "dedup_components": _COMPONENTS_SQL,
     "cluster_representatives": _REPS_SQL,
     "decontaminate": _DECON_SQL,

@@ -655,3 +655,18 @@ def test_phash_band_recall_guarantee_and_planted_radii(spark):
         if r["guaranteed"]:
             assert r["recall_bp"] == 10000, r
         assert 0 <= r["n_banded"] <= r["n_exact"]
+
+
+def test_simhash_band_recall_guarantee_and_planted_radii(spark):
+    """Pigeonhole guarantee exact at radius <= 3, every audited radius
+    populated by planted twins, caught <= planted."""
+    from grabspark.ops.dedup import _HAM_MAX, _SBR_MAXR, simhash_band_recall
+
+    rows = {r["radius"]: r for r in simhash_band_recall(spark, SF).collect()}
+    assert set(rows) == set(range(1, _SBR_MAXR + 1)), sorted(rows)
+    for rad, r in rows.items():
+        assert r["n_planted"] > 0
+        assert r["guaranteed"] == (rad <= _HAM_MAX)
+        if r["guaranteed"]:
+            assert r["recall_bp"] == 10000, r
+        assert 0 <= r["n_caught"] <= r["n_planted"]
