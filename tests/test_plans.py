@@ -727,6 +727,30 @@ def test_pixel_dedup_shuffles_hash_not_pixels(spark):
     assert "bytes" not in above_kernel, above_kernel
 
 
+def test_containment_gram_join_ships_keys_only(spark):
+    """containment_dedup's 100 TB contract (VERDICT r3 #1): no string
+    payload crosses the gram join — every hash exchange in the plan
+    carries only keys/counts (never `text` or `snip`), and the verify's
+    text joins are candidate-broadcast so neither text table shuffles."""
+    import re
+
+    from grabspark.ops.dedup import containment_dedup
+
+    p = plan(containment_dedup(spark, SF))
+    assert "CartesianProduct" not in p
+    # every shuffle exchange's input schema excludes the text payloads
+    # (formatted explain: "(n) Exchange\nInput [..]: [...]")
+    for block in re.split(r"\n\n", p):
+        first = block.strip().splitlines()[0] if block.strip() else ""
+        if re.match(r"\(\d+\) Exchange", first) and "hashpartitioning" in block:
+            inp = next(ln for ln in block.splitlines() if ln.startswith("Input"))
+            assert "text#" not in inp and "snip#" not in inp, block
+    # the candidate set (not the text) is the broadcast side of the verify
+    assert "BroadcastHashJoin" in p
+    # the gram aggregate never drags text through first()/min()
+    assert "first(snip" not in p and "first(text" not in p
+
+
 def test_sitemap_gate_rules_broadcast_frontier_once(spark):
     """Robots rules are host-sized: every rules-side join must broadcast;
     the customer-scale frontier crosses exactly one hash exchange (the
