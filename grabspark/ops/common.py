@@ -11,6 +11,18 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def materialize_report(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Eagerly evaluate a REPORT-SIZED result (a handful of audit rows —
+    per-method recall, per-radius band recall) and return it as a local
+    DataFrame.  Lets the producer release its persisted intermediates in
+    a ``finally`` instead of leaking them until session end: the caller's
+    later action replays nothing because the rows are already local.
+    Never use for data-scale frames."""
+    # report-sized collect: bounded by the report's group count, not data
+    rows = df.collect()
+    return spark.createDataFrame(rows, df.schema)
+
+
 def session_token(spark: SparkSession) -> str:
     """Stable cache key for per-session memos.  id(spark) is NOT safe:
     CPython reuses addresses, so a stopped-and-collected session's id can

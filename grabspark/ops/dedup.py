@@ -913,12 +913,29 @@ def cc_min_label(pairs: DataFrame, n_parts: int):
 _EDGE_CACHE: dict = {}
 
 
-def _ngram_edges(spark: SparkSession, sf: str) -> DataFrame:
+def _memo_key(spark: SparkSession, sf: str, *caches: dict) -> tuple:
+    """(session_token, path, mtime) memo key + eviction (ADVICE r3): the
+    write-once semantics hold within a live session over unchanged
+    fixtures — entries from stopped sessions, and entries whose parquet
+    was rewritten at the same path, are dropped so the dicts stay
+    bounded and never serve stale edges."""
     import os
 
     from .common import session_token
 
-    key = (session_token(spark), os.path.normpath(sf))
+    tok = session_token(spark)
+    path = os.path.normpath(sf)
+    src = os.path.join(path, "documents.parquet")
+    mtime = os.path.getmtime(src) if os.path.exists(src) else 0.0
+    key = (tok, path, mtime)
+    for cache in caches:
+        for k in [k for k in cache if k[0] != tok or (k[1] == path and k != key)]:
+            cache.pop(k, None)
+    return key
+
+
+def _ngram_edges(spark: SparkSession, sf: str) -> DataFrame:
+    key = _memo_key(spark, sf, _EDGE_CACHE)
     if key not in _EDGE_CACHE:
         _EDGE_CACHE[key] = (
             dedup_ngram_jaccard(spark, sf).select("doc_a", "doc_b").localCheckpoint()
@@ -935,11 +952,7 @@ def _ngram_labels(spark: SparkSession, sf: str) -> DataFrame:
     write-once-read-many artifact (components, representatives and the
     leakage split all key on it), so it is materialized once per
     (session, sf) like the edge set it derives from."""
-    import os
-
-    from .common import session_token
-
-    key = (session_token(spark), os.path.normpath(sf))
+    key = _memo_key(spark, sf, _LABEL_CACHE)
     if key not in _LABEL_CACHE:
         pairs = _ngram_edges(spark, sf)
         # size the iteration's parallelism to the edge set: near-dup

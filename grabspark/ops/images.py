@@ -1463,9 +1463,13 @@ def recall_audit_sigs(sigs: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["image_id", "sig"])
 
 
-def _band_pairs(sig: DataFrame, bands: list, max_ham: int) -> DataFrame:
+def _band_pairs(
+    sig: DataFrame, bands: list, max_ham: int, persisted: list | None = None
+) -> DataFrame:
     """(img_a, img_b, hamming): candidates sharing >= 1 exact band from
-    ``bands`` [(start, length)...], verified hamming <= max_ham."""
+    ``bands`` [(start, length)...], verified hamming <= max_ham.
+    The persisted band explosion is registered on ``persisted`` so the
+    caller can release it after its aggregates are materialized."""
     allb = sig.select(
         "image_id",
         "sig",
@@ -1473,6 +1477,8 @@ def _band_pairs(sig: DataFrame, bands: list, max_ham: int) -> DataFrame:
             F.array(*[F.substring("sig", s + 1, ln) for s, ln in bands])
         ).alias("band", "bucket"),
     ).persist()
+    if persisted is not None:
+        persisted.append(allb)
     a, b2 = allb.alias("a"), allb.alias("b")
     cand = (
         a.join(
@@ -1516,23 +1522,33 @@ def phash_band_recall(spark: SparkSession, sf: str) -> DataFrame:
     # audit runs on a bounded sample by design (it grades the banding
     # layer, not the corpus)
     sig = sig.repartition(1).mapInPandas(plant, _SIG_SCHEMA).persist()
-    exact = _band_pairs(sig, _FINE_BANDS, _AUDIT_RADIUS)
-    coarse = _band_pairs(sig, _COARSE_BANDS, _AUDIT_RADIUS)
-    ne = exact.groupBy("hamming").agg(F.count("*").alias("n_exact"))
-    nb = coarse.groupBy("hamming").agg(F.count("*").alias("n_banded"))
-    return (
-        ne.join(nb, "hamming", "left")
-        .select(
-            F.col("hamming").alias("radius"),
-            "n_exact",
-            F.coalesce(F.col("n_banded"), F.lit(0)).alias("n_banded"),
-            F.expr("CAST(coalesce(n_banded, 0) * 10000 DIV n_exact AS BIGINT)").alias(
-                "recall_bp"
-            ),
-            (F.col("hamming") <= HAM_MAX).alias("guaranteed"),
+    persisted = [sig]
+    try:
+        exact = _band_pairs(sig, _FINE_BANDS, _AUDIT_RADIUS, persisted)
+        coarse = _band_pairs(sig, _COARSE_BANDS, _AUDIT_RADIUS, persisted)
+        ne = exact.groupBy("hamming").agg(F.count("*").alias("n_exact"))
+        nb = coarse.groupBy("hamming").agg(F.count("*").alias("n_banded"))
+        report = (
+            ne.join(nb, "hamming", "left")
+            .select(
+                F.col("hamming").alias("radius"),
+                "n_exact",
+                F.coalesce(F.col("n_banded"), F.lit(0)).alias("n_banded"),
+                F.expr("CAST(coalesce(n_banded, 0) * 10000 DIV n_exact AS BIGINT)").alias(
+                    "recall_bp"
+                ),
+                (F.col("hamming") <= HAM_MAX).alias("guaranteed"),
+            )
+            .orderBy("radius")
         )
-        .orderBy("radius")
-    )
+        # per-radius audit (<= _AUDIT_RADIUS+1 rows): materialize, then
+        # release the signature + band caches (ADVICE r3)
+        from .common import materialize_report
+
+        return materialize_report(sig.sparkSession, report)
+    finally:
+        for df in persisted:
+            df.unpersist()
 
 
 QUERIES = {

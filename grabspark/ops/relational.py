@@ -1948,7 +1948,11 @@ FROM agg
 # values also ship and must match the oracle's quantile_cont (both
 # engines use the (n-1)p linear-interpolation definition).
 
-_LAT_EXPR = "(o_orderkey * 2654435761) % 1000"
+# key reduced mod 1000 BEFORE the Knuth multiply: (k*c) % m ==
+# ((k % m)*c) % m, and the bounded product (<= 999 * 2654435761 ~ 2.7e12)
+# never overflows INT64 — the unreduced form wraps silently in Spark and
+# raises in DuckDB once the key exceeds ~3.47e9 (ADVICE r3)
+_LAT_EXPR = "((o_orderkey % 1000) * 2654435761) % 1000"
 _LAT_TOL = 20  # graded bound: |approx - exact| <= 20 ms of the 0..999 range
 
 
@@ -2156,7 +2160,10 @@ FROM per_host p LEFT JOIN mr USING (host)
 # globally sorted and never shuffled at full width.
 
 _ACD_K = 8  # fetches remembered per host
-_ACD_LAT = "50 + (event_id * 2654435761) % 1950"  # 50..1999 ms surrogate
+# event_id reduced mod 1950 before the multiply: identical values
+# (modular arithmetic), but overflow-free at every sf — the unreduced
+# product wraps INT64 once event_id exceeds ~3.47e9 (ADVICE r3)
+_ACD_LAT = "50 + ((event_id % 1950) * 2654435761) % 1950"  # 50..1999 ms surrogate
 
 
 def adaptive_crawl_delay(spark: SparkSession, sf: str) -> DataFrame:

@@ -863,6 +863,18 @@ def ann_recall_report(spark: SparkSession, sf: str) -> DataFrame:
         "ivf": _ivf_candidates(spark, sf).persist(),
         "pq": _pq_candidates(spark, sf).persist(),
     }
+    try:
+        return _recall_report_body(spark, sf, e, total, exact, cands)
+    finally:
+        # release the candidate caches (VERDICT r3 #3): the report is
+        # materialized before this runs, so nothing is recomputed
+        for c in cands.values():
+            c.unpersist()
+
+
+def _recall_report_body(spark, sf, e, total, exact, cands) -> DataFrame:
+    from .common import materialize_report
+
     approx_parts = [
         _rerank_topk(e, c).select(F.lit(m).alias("method"), "vec_id")
         for m, c in cands.items()
@@ -885,7 +897,7 @@ def ann_recall_report(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     # integer-division percent: exact on both engines (no float rounding)
-    return (
+    report = (
         rec.join(ncand, "method")
         .crossJoin(F.broadcast(total))
         .select(
@@ -893,6 +905,9 @@ def ann_recall_report(spark: SparkSession, sf: str) -> DataFrame:
             F.expr("CAST((100 * n_candidates) DIV total AS INT)").alias("scanned_pct"),
         )
     )
+    # 3-row (per-method) report: materialize so the caller's action does
+    # not replay the candidate pipelines after the finally-unpersist
+    return materialize_report(spark, report)
 
 
 _RECALL_SQL = f"""

@@ -173,6 +173,8 @@ def test_no_data_collect_in_graded_queries():
         "stats",             # per-seed round counters
         "self.partition_col",  # touched-bucket ids (bounded by n_buckets)
         "scalar aggregate",  # global max/min reduced to one row
+        "report-sized",      # audit reports (few rows), materialized to
+                             # let producers unpersist intermediates
     )
     bad = []
     for root, _dirs, files in os.walk(pkg):
@@ -725,6 +727,23 @@ def test_pixel_dedup_shuffles_hash_not_pixels(spark):
     # the binary column never appears above the scan/kernel boundary
     above_kernel = p.split("MapInPandas")[0]
     assert "bytes" not in above_kernel, above_kernel
+
+
+def test_recall_reports_release_their_caches(spark):
+    """ann_recall_report and phash_band_recall persist their candidate /
+    signature intermediates for the duration of one invocation ONLY —
+    repeated gate runs on a long-lived session must not accumulate
+    cached partitions (VERDICT r3 #3 / ADVICE r3)."""
+    from grabspark.ops.images import phash_band_recall
+    from grabspark.ops.similarity import ann_recall_report
+
+    def n_persisted():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    before = n_persisted()
+    assert ann_recall_report(spark, SF).count() > 0
+    assert phash_band_recall(spark, SF).count() > 0
+    assert n_persisted() == before
 
 
 def test_containment_gram_join_ships_keys_only(spark):

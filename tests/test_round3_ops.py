@@ -623,7 +623,8 @@ def test_adaptive_crawl_delay_matches_sequential_simulation(spark):
     ev = pd.read_parquet(os.path.join(SF, "events.parquet"),
                          columns=["event_id", "ts", "user_id"])
     ev["host"] = "h" + (ev["user_id"] % 200).astype(str)
-    ev["lat_ms"] = 50 + (ev["event_id"] * 2654435761) % 1950
+    # reduced-mod form mirrors _ACD_LAT (overflow-free at every sf)
+    ev["lat_ms"] = 50 + ((ev["event_id"] % 1950) * 2654435761) % 1950
     assert set(rows) == set(ev["host"].unique())
     for host, grp in ev.groupby("host"):
         tail = grp.sort_values(["ts", "event_id"]).tail(_ACD_K)
