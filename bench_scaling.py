@@ -290,8 +290,9 @@ CPU the hypervisor actually delivers.
 
 Reading: compare the full-round efficiency against the calibration
 ceiling — the ceiling is the best ANY job can do on this pair; the
-fully-provisioned pair (4,16), both configs within physical cores, is
-the criterion-grade measurement (BENCH/BASELINE.md).  This generated
+criterion-grade measurement is the (2,8) pair, both configs inside
+physical cores and below the memory-bandwidth wall
+(BENCH/BASELINE.md).  This generated
 file is a template; the committed SCALING_8_32.md carries the analyzed
 version with the measured numbers in context.
 
@@ -383,10 +384,12 @@ Metric (BASELINE.json): frontier-dedupe + scheduled-fetch URLs/sec on a
 executors, evidenced in-sandbox by running the same job at two
 parallelism levels — `local[{lo}]` (N) vs `local[{hi}]` (4N) — on identical
 pre-generated input via `spark-submit --py-files grabspark.zip` (no real
-cluster in the sandbox — see BASELINE.md).  The ({lo},{hi}) pair is the
-honest one on this box: 32 vCPUs map onto ~16-21 effective physical
-cores (busy-loop characterization, round 1), so 8-vs-32 would compare a
-fully-provisioned config against an oversubscribed one.
+cluster in the sandbox — see BASELINE.md).  The criterion-grade pair on
+this box is (2,8) — both configs inside the ~16-21 effective physical
+cores (busy-loop characterization, round 1), neither near the single-box
+memory-bandwidth wall; other pairs, ({lo},{hi}) included when it is not
+(2,8), are diagnostic probes of the hardware ceilings
+(BENCH/BASELINE.md carries the adjudication).
 
 Protocol: one fresh JVM per measurement, configs INTERLEAVED
 (N, 4N, N, 4N, ...) because the sandbox's available CPU varies ~10x over
