@@ -276,9 +276,10 @@ _ROTATION_R4 = (
     "leakage_safe_split",
 )
 
-# 26 never-graded ops queued for the round-5 window (positions 51+,
+# never-graded ops queued for the round-5 window (positions 51+,
 # ahead of the already-graded rows)
 _ROTATION_NEXT = (
+    "image_decode_once_curation",
     "frontier_cardinality_sketch",
     "rendezvous_shard",
     "latency_quantile_sketch",

@@ -137,11 +137,12 @@ def image_phash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     return _banded_near_dup_pairs(phash_signatures(_corpus_df(spark)))
 
 
-def _banded_near_dup_pairs(sig: DataFrame) -> DataFrame:
+def _banded_near_dup_pairs(sig: DataFrame, persisted: list | None = None) -> DataFrame:
     """Banded LSH self-join over (image_id, sig[64-char bit string]):
     candidates share one exact _BAND_BITS band, verified hamming <=
     HAM_MAX (recall 1.0 by pigeonhole).  Shared by the pHash and dHash
-    near-dup queries."""
+    near-dup queries.  The persisted band explosion is registered on
+    ``persisted`` when the caller wants to release it after its action."""
     allb = sig.select(
         "image_id",
         "sig",
@@ -151,6 +152,8 @@ def _banded_near_dup_pairs(sig: DataFrame) -> DataFrame:
             )
         ).alias("band", "bucket"),
     ).persist()
+    if persisted is not None:
+        persisted.append(allb)
     a, b2 = allb.alias("a"), allb.alias("b")
     cand = (
         a.join(
@@ -1551,6 +1554,120 @@ def phash_band_recall(spark: SparkSession, sf: str) -> DataFrame:
             df.unpersist()
 
 
+# --- decode-once composed curation (VERDICT r3 task 7) -----------------------
+#
+# A real multimodal curation session runs MANY per-image analyses over
+# the same corpus; paying one Arrow decode per analysis multiplies the
+# dominant cost (codec + Python boundary) by the number of analyses.
+# This op decodes each image ONCE into a persisted signature frame
+# (pHash signature + features + sharpness + colorfulness + exact pixel
+# hash) and derives three downstream op families from that frame alone:
+# banded pHash near-dup pairs, exact pixel-dedup groups, and the
+# quality gates — then folds them into one keep/drop verdict per image.
+# At 100 TB this is the difference between one pass over the pixel
+# bytes and five.
+
+_DECODE_ONCE_SCHEMA = (
+    "image_id string, fmt string, w int, h int, sig string, "
+    "mean_luma double, contrast double, edge_energy double, "
+    "lap_var double, is_blurry boolean, colorfulness double, is_gray boolean, "
+    "pixel_md5 string"
+)
+
+
+def signature_pass(images: DataFrame) -> DataFrame:
+    """ONE Arrow decode pass emitting every per-image signal the
+    composed curation needs; downstream consumers read this frame and
+    never touch the pixel bytes again."""
+    import hashlib
+
+    def kernel(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = imaging.decode_image(r.bytes, int(r.w), int(r.h), r.fmt)
+                sig = format(imaging.phash64(px) & ((1 << 64) - 1), "064b")
+                ml, ct, ee = image_feature_kernel(px)
+                lv, blurry = image_sharpness_kernel(px)
+                cf = colorfulness_kernel(px)
+                rows.append(
+                    (
+                        r.image_id, r.fmt, int(r.w), int(r.h), sig,
+                        ml, ct, ee, lv, blurry, cf, cf < _GRAY_THRESH,
+                        hashlib.md5(px.tobytes()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "fmt", "w", "h", "sig",
+                    "mean_luma", "contrast", "edge_energy",
+                    "lap_var", "is_blurry", "colorfulness", "is_gray",
+                    "pixel_md5",
+                ],
+            )
+
+    return images.mapInPandas(kernel, _DECODE_ONCE_SCHEMA)
+
+
+def image_decode_once_curation(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-image curation verdict over the shared corpus, decode-once:
+    (image_id, fmt, w, h, features..., sharpness, colorfulness,
+    n_near_dups, is_pixel_dup, keep).  keep = sharp AND colorful AND the
+    canonical member of its exact-pixel group AND not the dropped side
+    of any verified pHash near-dup pair (pair drop keeps the
+    lexicographic-min image, matching the pixel-dedup rep rule).
+    Graded against a golden recomputed with the independently-written
+    math in tests/make_golden.py (block-loop features, loop Laplacian,
+    loop colorfulness, all-pairs hamming)."""
+    from pyspark.sql import Window
+
+    from .common import materialize_report
+
+    base = signature_pass(_corpus_df(spark)).persist()
+    persisted = [base]
+    try:
+        pairs = _banded_near_dup_pairs(base.select("image_id", "sig"), persisted)
+        touched = pairs.select(F.col("img_a").alias("image_id")).unionByName(
+            pairs.select(F.col("img_b").alias("image_id"))
+        )
+        ndup = touched.groupBy("image_id").agg(
+            F.count("*").cast("bigint").alias("n_near_dups")
+        )
+        dropped = (
+            pairs.select(F.col("img_b").alias("image_id"))
+            .distinct()
+            .withColumn("_nd_drop", F.lit(True))
+        )
+        w = Window.partitionBy("pixel_md5")
+        out = (
+            base.withColumn("pixel_group", F.count("*").over(w))
+            .withColumn("pixel_rep", F.min("image_id").over(w))
+            .join(ndup, "image_id", "left")
+            .join(dropped, "image_id", "left")
+            .select(
+                "image_id", "fmt", "w", "h",
+                "mean_luma", "contrast", "edge_energy",
+                "lap_var", "is_blurry", "colorfulness", "is_gray",
+                F.coalesce("n_near_dups", F.lit(0)).cast("bigint").alias("n_near_dups"),
+                (F.col("pixel_group") > 1).alias("is_pixel_dup"),
+                (
+                    (~F.col("is_blurry"))
+                    & (~F.col("is_gray"))
+                    & (F.col("pixel_rep") == F.col("image_id"))
+                    & F.col("_nd_drop").isNull()
+                ).alias("keep"),
+            )
+        )
+        # the audit corpus is fixture-sized (64 rows), so the local
+        # materialization stands in for the at-scale pattern — writing
+        # the verdict frame to a table — and lets the caches release
+        return materialize_report(spark, out)
+    finally:
+        for df in persisted:
+            df.unpersist()
+
+
 QUERIES = {
     "image_phash_near_dup": image_phash_near_dup,
     "image_features": image_features,
@@ -1569,6 +1686,7 @@ QUERIES = {
     "image_blockiness_detect": image_blockiness_detect,
     "image_resize_plan": image_resize_plan,
     "phash_band_recall": phash_band_recall,
+    "image_decode_once_curation": image_decode_once_curation,
 }
 
 ORACLES = {
@@ -1577,6 +1695,9 @@ ORACLES = {
     ),
     "image_phash_near_dup": (
         f"SELECT * FROM read_parquet('{os.path.join(_GOLDEN, 'image_phash_near_dup.parquet')}')"
+    ),
+    "image_decode_once_curation": (
+        f"SELECT * FROM read_parquet('{os.path.join(_GOLDEN, 'image_decode_once_curation.parquet')}')"
     ),
     "image_features": (
         f"SELECT * FROM read_parquet('{os.path.join(_GOLDEN, 'image_features.parquet')}')"

@@ -842,6 +842,103 @@ def build_multimodal_curation_golden() -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["image_id", "disposition"])
 
 
+def build_image_decode_once_golden() -> pd.DataFrame:
+    """Composed decode-once curation golden: per-image signals from the
+    INDEPENDENT math already in this file (_golden_features block loops,
+    _golden_sharpness loop Laplacian, the grayscale loop colorfulness),
+    near-dup incidence from ALL-PAIRS hamming (no banding), pixel groups
+    from md5 over decoded bytes — composed with the same keep rule the
+    Spark op declares (sharp AND colorful AND pixel-group rep AND not
+    the dropped side of a near-dup pair)."""
+    import hashlib
+    import math
+
+    from grabspark import imaging
+    from grabspark.ops import images as im
+
+    pdf = _golden_image_corpus()
+    per = []
+    sigs = []
+    for r in pdf.itertuples(index=False):
+        px = imaging.decode_image(r.bytes, int(r.w), int(r.h), r.fmt)
+        ml, ct, ee = _golden_features(px)
+        lv, blurry = _golden_sharpness(px)
+        # loop colorfulness (same independent math as the grayscale golden)
+        h, w = px.shape[0], px.shape[1]
+        n = h * w
+        s_rg = s_rg2 = s_yb = s_yb2 = 0.0
+        for y in range(h):
+            for x in range(w):
+                rr, gg, bb = float(px[y, x, 0]), float(px[y, x, 1]), float(px[y, x, 2])
+                rg = rr - gg
+                yb = 0.5 * (rr + gg) - bb
+                s_rg += rg
+                s_rg2 += rg * rg
+                s_yb += yb
+                s_yb2 += yb * yb
+        m_rg, m_yb = s_rg / n, s_yb / n
+        v_rg = s_rg2 / n - m_rg * m_rg
+        v_yb = s_yb2 / n - m_yb * m_yb
+        cf = round(
+            math.sqrt(max(v_rg, 0.0) + max(v_yb, 0.0))
+            + 0.3 * math.sqrt(m_rg * m_rg + m_yb * m_yb),
+            4,
+        )
+        sigs.append((r.image_id, imaging.phash64(px)))
+        per.append(
+            {
+                "image_id": r.image_id, "fmt": r.fmt, "w": int(r.w), "h": int(r.h),
+                "mean_luma": ml, "contrast": ct, "edge_energy": ee,
+                "lap_var": lv, "is_blurry": blurry,
+                "colorfulness": cf, "is_gray": cf < im._GRAY_THRESH,
+                "pixel_md5": hashlib.md5(px.tobytes()).hexdigest(),
+            }
+        )
+    # all-pairs near-dup incidence (independent of the Spark banding)
+    n_dups: dict = {}
+    nd_dropped: set = set()
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            a, b = sorted((sigs[i], sigs[j]))
+            if imaging.hamming64(a[1], b[1]) <= im.HAM_MAX:
+                n_dups[a[0]] = n_dups.get(a[0], 0) + 1
+                n_dups[b[0]] = n_dups.get(b[0], 0) + 1
+                nd_dropped.add(b[0])
+    groups: dict = {}
+    for p in per:
+        groups.setdefault(p["pixel_md5"], []).append(p["image_id"])
+    rows = []
+    for p in per:
+        grp = groups[p["pixel_md5"]]
+        keep = (
+            not p["is_blurry"]
+            and not p["is_gray"]
+            and min(grp) == p["image_id"]
+            and p["image_id"] not in nd_dropped
+        )
+        rows.append(
+            (
+                p["image_id"], p["fmt"], p["w"], p["h"],
+                p["mean_luma"], p["contrast"], p["edge_energy"],
+                p["lap_var"], p["is_blurry"], p["colorfulness"], p["is_gray"],
+                n_dups.get(p["image_id"], 0), len(grp) > 1, keep,
+            )
+        )
+    out = pd.DataFrame(
+        rows,
+        columns=[
+            "image_id", "fmt", "w", "h",
+            "mean_luma", "contrast", "edge_energy",
+            "lap_var", "is_blurry", "colorfulness", "is_gray",
+            "n_near_dups", "is_pixel_dup", "keep",
+        ],
+    )
+    out["w"] = out["w"].astype("int32")
+    out["h"] = out["h"].astype("int32")
+    out["n_near_dups"] = out["n_near_dups"].astype("int64")
+    return out
+
+
 def main(sf_dirs: list[str]) -> None:
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     for sf_dir in sf_dirs:
@@ -870,6 +967,7 @@ def main(sf_dirs: list[str]) -> None:
         ("image_blockiness_detect", build_image_blockiness_golden),
         ("image_corpus_meta", build_image_corpus_meta),
         ("phash_band_recall", build_phash_band_recall_golden),
+        ("image_decode_once_curation", build_image_decode_once_golden),
     ):
         pdf = builder()
         out = os.path.join(GOLDEN_DIR, f"{name}.parquet")

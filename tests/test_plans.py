@@ -743,7 +743,10 @@ def test_recall_reports_release_their_caches(spark):
     before = n_persisted()
     assert ann_recall_report(spark, SF).count() > 0
     assert phash_band_recall(spark, SF).count() > 0
-    assert n_persisted() == before
+    # <= not ==: the ContextCleaner may asynchronously release OTHER
+    # tests' dropped frames in this window; the guard is that these two
+    # queries add none of their own
+    assert n_persisted() <= before
 
 
 def test_containment_gram_join_ships_keys_only(spark):
