@@ -104,6 +104,10 @@ HEADLINE = [
     "image_features",
     "image_sharpness",
     "image_curation",
+    # composed decode-once pass: compare against the sum of the five
+    # single-signal ops it subsumes (features + sharpness + phash
+    # near-dup + grayscale + pixel-dedup) — the one-decode claim
+    "image_decode_once_curation",
     "image_phash_near_dup",
     "phash_band_recall",
     "image_caption_dedup",
@@ -191,9 +195,12 @@ def main() -> None:
     from grabspark import bench_core
 
     base = tempfile.mkdtemp(prefix="grabspark-bench-")
+    # hashed seen layout (r4): the anti-join probes the 8-byte
+    # xxhash64(url_canon) key; the string column stays in the table for
+    # audit but is pruned from the probe scan
     bench_core.write_bucketed(
-        bench_core.synth_seen_df(spark, FRONTIER_N, FRONTIER_N, 1024),
-        "seen_b", os.path.join(base, "seen_tbl"), ["url_canon"],
+        bench_core.synth_seen_hash_df(spark, FRONTIER_N, FRONTIER_N, 1024),
+        "seen_b", os.path.join(base, "seen_tbl"), ["key_hash"],
     )
     bench_core.write_bucketed(
         bench_core.synth_store_df(spark, FRONTIER_N // 2, FRONTIER_N, 1024),

@@ -81,7 +81,7 @@ def _session(cores: int, app: str, shuffle_partitions: int = 64):
     return spark
 
 
-def prepare(data_dir: str, n_frontier: int) -> None:
+def prepare(data_dir: str, n_frontier: int, layout: str = "hash") -> None:
     from grabspark import bench_core
     from grabspark.bloom import bloom_bits_for
 
@@ -99,10 +99,20 @@ def prepare(data_dir: str, n_frontier: int) -> None:
     # big join sides stored BUCKETED on their join keys (the 100 TB
     # layout): per-round joins then read them pre-partitioned — only the
     # candidate side ever shuffles
-    bench_core.write_bucketed(
-        bench_core.synth_seen_df(spark, n_frontier, n_frontier, 1024),
-        "seen_b", os.path.join(data_dir, "seen_tbl"), ["url_canon"], n_buckets,
-    )
+    # layout="hash" (default, r4): seen bucketed on xxhash64(url_canon)
+    # — the anti-join probes 8 B/row instead of the URL string (the
+    # string stays in the files for audit, pruned from the probe scan).
+    # layout="string" preserved for A/B against the r3 measurements.
+    if layout == "hash":
+        bench_core.write_bucketed(
+            bench_core.synth_seen_hash_df(spark, n_frontier, n_frontier, 1024),
+            "seen_b", os.path.join(data_dir, "seen_tbl"), ["key_hash"], n_buckets,
+        )
+    else:
+        bench_core.write_bucketed(
+            bench_core.synth_seen_df(spark, n_frontier, n_frontier, 1024),
+            "seen_b", os.path.join(data_dir, "seen_tbl"), ["url_canon"], n_buckets,
+        )
     bench_core.write_bucketed(
         bench_core.synth_store_df(spark, n_frontier // 2, n_frontier, 1024),
         "store_b", os.path.join(data_dir, "store_tbl"), ["image_id"], n_buckets,
@@ -111,7 +121,13 @@ def prepare(data_dir: str, n_frontier: int) -> None:
     bl.save(os.path.join(data_dir, "bloom"))
     with open(os.path.join(data_dir, "meta.json"), "w") as f:
         json.dump(
-            {"n_frontier": n_frontier, "n_buckets": n_buckets, "bloom_bits": n_bits}, f
+            {
+                "n_frontier": n_frontier,
+                "n_buckets": n_buckets,
+                "bloom_bits": n_bits,
+                "layout": layout,
+            },
+            f,
         )
     print(
         f"# prepared {data_dir} (n_buckets={n_buckets}, bloom_bits=2^"
@@ -134,8 +150,13 @@ def measure(data_dir: str, cores: int, out: str) -> None:
     from grabspark import bench_core
     from grabspark.bloom import ShardedBloom
 
+    seen_ddl = (
+        bench_core.SEEN_HASH_TBL_DDL
+        if meta.get("layout", "string") == "hash"
+        else bench_core.SEEN_TBL_DDL
+    )
     bench_core.attach_bucketed(
-        spark, "seen_b", bench_core.SEEN_TBL_DDL, os.path.join(data_dir, "seen_tbl"), n_buckets
+        spark, "seen_b", seen_ddl, os.path.join(data_dir, "seen_tbl"), n_buckets
     )
     bench_core.attach_bucketed(
         spark, "store_b", bench_core.STORE_TBL_DDL, os.path.join(data_dir, "store_tbl"), n_buckets
@@ -179,8 +200,13 @@ def measure_breakdown(data_dir: str, cores: int, out: str) -> None:
     from grabspark import bench_core
     from grabspark.bloom import ShardedBloom
 
+    seen_ddl = (
+        bench_core.SEEN_HASH_TBL_DDL
+        if meta.get("layout", "string") == "hash"
+        else bench_core.SEEN_TBL_DDL
+    )
     bench_core.attach_bucketed(
-        spark, "seen_b", bench_core.SEEN_TBL_DDL, os.path.join(data_dir, "seen_tbl"), n_buckets
+        spark, "seen_b", seen_ddl, os.path.join(data_dir, "seen_tbl"), n_buckets
     )
     bench_core.attach_bucketed(
         spark, "store_b", bench_core.STORE_TBL_DDL, os.path.join(data_dir, "store_tbl"), n_buckets
@@ -212,7 +238,7 @@ def measure_breakdown(data_dir: str, cores: int, out: str) -> None:
     print(f"# breakdown cores={cores}: calib={calib_sec:.2f}s stages={stages}", file=sys.stderr)
 
 
-def orchestrate_breakdown(n_frontier: int, trials: int, lo: int = 8, hi: int = 32) -> None:
+def orchestrate_breakdown(n_frontier: int, trials: int, lo: int = 8, hi: int = 32, layout: str = "hash") -> None:
     """Interleaved stage-breakdown at (lo, hi): per-stage best-of scaling
     efficiency plus the pure-CPU calibration ceiling, committed as
     BENCH/scaling_breakdown_{lo}_{hi}.json + BENCH/SCALING_BD_RUN_{lo}_{hi}.md
@@ -222,7 +248,7 @@ def orchestrate_breakdown(n_frontier: int, trials: int, lo: int = 8, hi: int = 3
 
     zpath = package_zip()
     data_dir = tempfile.mkdtemp(prefix="grabspark-bd-data-")
-    _submit(["--prepare", "--data", data_dir, "--n-frontier", str(n_frontier)], 32, zpath)
+    _submit(["--prepare", "--data", data_dir, "--n-frontier", str(n_frontier), "--layout", layout], 32, zpath)
     runs: dict[int, list[dict]] = {lo: [], hi: []}
     outdir = tempfile.mkdtemp(prefix="grabspark-bd-out-")
     for trial in range(trials):
@@ -323,7 +349,7 @@ def _submit(args: list[str], cores: int, zpath: str) -> None:
     subprocess.run(cmd, check=True)
 
 
-def orchestrate(n_frontier: int, trials: int, lo: int = 4, hi: int = 16) -> None:
+def orchestrate(n_frontier: int, trials: int, lo: int = 4, hi: int = 16, layout: str = "hash") -> None:
     """Interleaved single-JVM measurements (lo, hi, lo, hi, ...), scored
     best-of per config.  Best-of is the honest scorer on this box: the
     hypervisor steals up to ~10x of effective CPU in bursts, so the best
@@ -337,7 +363,7 @@ def orchestrate(n_frontier: int, trials: int, lo: int = 4, hi: int = 16) -> None
 
     zpath = package_zip()
     data_dir = tempfile.mkdtemp(prefix="grabspark-scaling-data-")
-    _submit(["--prepare", "--data", data_dir, "--n-frontier", str(n_frontier)], 32, zpath)
+    _submit(["--prepare", "--data", data_dir, "--n-frontier", str(n_frontier), "--layout", layout], 32, zpath)
     runs: dict[int, list[dict]] = {lo: [], hi: []}
     outdir = tempfile.mkdtemp(prefix="grabspark-scaling-out-")
     for trial in range(trials):
@@ -450,14 +476,16 @@ if __name__ == "__main__":
     # cores; every interleaved pair passed >=0.8 at these defaults (r3)
     ap.add_argument("--lo", type=int, default=2)
     ap.add_argument("--hi", type=int, default=8)
+    ap.add_argument("--layout", default="hash", choices=["hash", "string"],
+                    help="seen-table key layout: 8B xxhash64 (default) or url string (r3 A/B)")
     ap.add_argument("--out", default="/tmp/scaling.json")
     args = ap.parse_args()
     if args.orchestrate:
-        orchestrate(args.n_frontier, args.trials, args.lo, args.hi)
+        orchestrate(args.n_frontier, args.trials, args.lo, args.hi, args.layout)
     elif args.breakdown:
-        orchestrate_breakdown(args.n_frontier, args.trials, args.lo, args.hi)
+        orchestrate_breakdown(args.n_frontier, args.trials, args.lo, args.hi, args.layout)
     elif args.prepare:
-        prepare(args.data, args.n_frontier)
+        prepare(args.data, args.n_frontier, args.layout)
     elif args.measure_breakdown:
         measure_breakdown(args.data, args.cores, args.out)
     else:

@@ -116,6 +116,20 @@ def synth_seen_df(spark: SparkSession, n: int, n_frontier: int, n_hosts: int) ->
     )
 
 
+def synth_seen_hash_df(
+    spark: SparkSession, n: int, n_frontier: int, n_hosts: int
+) -> DataFrame:
+    """Seen table in the hashed layout: key_hash first (the bucket/sort
+    key), url_canon retained for the confirm/audit path only."""
+    return synth_seen_df(spark, n, n_frontier, n_hosts).select(
+        "seed_idx",
+        F.xxhash64("url_canon").alias("key_hash"),
+        "url_canon",
+        "first_seq",
+        "round",
+    )
+
+
 def synth_seen(spark: SparkSession, n: int, n_frontier: int, n_hosts: int, path: str) -> str:
     synth_seen_df(spark, n, n_frontier, n_hosts).write.mode("overwrite").parquet(path)
     return path
@@ -171,6 +185,24 @@ SEEN_TBL_DDL = (
     "USING parquet CLUSTERED BY (url_canon) "
     "SORTED BY (url_canon) INTO {nb} BUCKETS LOCATION '{path}'"
 )
+
+# Hashed seen layout (VERDICT r3 task 2): the anti-join stage's (4,16)
+# scaling wall is memory bandwidth — every round re-scans the full
+# string-keyed seen table (~48 B/row of URL text) just to probe key
+# equality.  Storing the join key as xxhash64(url_canon) (8 B) shrinks
+# the bytes the probe scan touches ~7x; the string column STAYS in the
+# table for the audit/confirm path but is never selected by the round,
+# so parquet column pruning keeps it off the bus.  The join is exact up
+# to 64-bit hash collisions: P(any collision) ~ n_cand * n_seen / 2^64
+# ~ 7e-7 at the 4M-row bench (verified empirically identical to the
+# string layout by tests/test_bench_layouts.py); the GRADED engine keeps
+# full string-key semantics.
+SEEN_HASH_TBL_DDL = (
+    "CREATE TABLE IF NOT EXISTS {name} "
+    "(seed_idx INT, key_hash BIGINT, url_canon STRING, first_seq BIGINT, round INT) "
+    "USING parquet CLUSTERED BY (key_hash) "
+    "SORTED BY (key_hash) INTO {nb} BUCKETS LOCATION '{path}'"
+)
 STORE_TBL_DDL = (
     "CREATE TABLE IF NOT EXISTS {name} "
     "(image_id STRING, w INT, h INT, fmt STRING, caption STRING, phash BIGINT) "
@@ -217,12 +249,22 @@ def _read_side(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _seen_bloom_key(seen: DataFrame):
+    """Bloom key matching the seen layout: the hashed layout keys on the
+    8-byte key_hash (the string never enters the filter)."""
+    if "key_hash" in seen.columns:
+        return F.concat_ws(
+            "\x1f", F.col("seed_idx").cast("string"), F.col("key_hash").cast("string")
+        )
+    return F.concat_ws("\x1f", F.col("seed_idx").cast("string"), F.col("url_canon"))
+
+
 def build_seen_bloom(
     spark: SparkSession, seen_path: str, n_bits: int, n_hashes: int = 7, n_shards: int = 64
 ) -> ShardedBloom:
     seen = _read_side(spark, seen_path)
     bl = ShardedBloom(n_bits, n_hashes, n_shards)
-    key = F.concat_ws("\x1f", F.col("seed_idx").cast("string"), F.col("url_canon"))
+    key = _seen_bloom_key(seen)
     # executor-side per-shard OR-merge first: the driver then collects
     # exactly n_bits/8 bytes, not n_partitions copies of the filter
     # (64M keys x 256 partitions of raw partials = ~20 GB = maxResultSize)
@@ -263,7 +305,13 @@ def run_frontier_round(
             print(f"## stage {label}: +{time.time() - t:.2f}s n={n}", file=sys.stderr, flush=True)
 
     cand_raw = synth_candidates(spark, n_frontier, n_hosts, space_unit)
-    seen = _read_side(spark, seen_path).select("seed_idx", "url_canon")
+    seen_raw = _read_side(spark, seen_path)
+    # hashed layout: probe on the 8-byte key_hash only — the url_canon
+    # string stays in the table (confirm/audit path) but is pruned from
+    # the scan, cutting the per-round seen-table bytes ~7x
+    hashed = "key_hash" in seen_raw.columns
+    join_key = "key_hash" if hashed else "url_canon"
+    seen = seen_raw.select("seed_idx", join_key)
     store = _read_side(spark, store_path) if store_path else None
 
     t0 = time.time()
@@ -288,7 +336,11 @@ def run_frontier_round(
     # n_partitions must equal the seen/store tables' bucket count (the
     # attach DDL) for the exchange-free co-partitioned joins below
     might = None
-    key = F.concat_ws("\x1f", F.col("seed_idx").cast("string"), F.col("url_canon"))
+    key = F.concat_ws(
+        "\x1f",
+        F.col("seed_idx").cast("string"),
+        F.col("key_hash").cast("string") if hashed else F.col("url_canon"),
+    )
     if bl is not None:
         from .bloom import make_might_contain
 
@@ -299,8 +351,31 @@ def run_frontier_round(
     # interleaved) — it pushes the full pre-dedupe batch (1.4x rows)
     # through a second Arrow boundary; the post-shuffle probe below
     # touches only deduped rows.  Kept post-shuffle deliberately.
-    cand = cand.repartition(n_partitions, "url_canon")
-    cand = dedupe_first_occurrence(cand)
+    if hashed:
+        # key_hash must be a real column BEFORE the repartition so the
+        # partitioning expression is syntactically a subset of both the
+        # dedupe grouping keys and the anti-join keys (Catalyst's subset
+        # check is syntactic, not semantic)
+        cand = cand.withColumn("key_hash", F.xxhash64("url_canon"))
+        cand = cand.repartition(n_partitions, "key_hash")
+        # dedupe stays EXACT (url_canon is still a grouping key — equal
+        # hashes with unequal urls do not merge); key_hash joins the keys
+        # only so the hash-partitioning satisfies the distribution
+        other = [
+            c for c in cand.columns if c not in ("seed_idx", "url_canon", "key_hash")
+        ]
+        cand = (
+            cand.groupBy("seed_idx", "key_hash", "url_canon")
+            .agg(
+                F.min_by(
+                    F.struct(*other), F.struct("parent_seq", "link_idx")
+                ).alias("_r")
+            )
+            .select("seed_idx", "key_hash", "url_canon", "_r.*")
+        )
+    else:
+        cand = cand.repartition(n_partitions, "url_canon")
+        cand = dedupe_first_occurrence(cand)
     _dbg("dedupe", cand)
 
     def _prefix_result(df) -> FrontierBenchResult:
@@ -325,7 +400,7 @@ def run_frontier_round(
             survivors = tagged.filter(~F.col("_maybe")).drop("_maybe").unionByName(
                 tagged.filter(F.col("_maybe"))
                 .drop("_maybe")
-                .join(seen, ["seed_idx", "url_canon"], "left_anti")
+                .join(seen, ["seed_idx", join_key], "left_anti")
             )
         else:
             # Bloom folded INTO the anti-join condition: a left-anti row
@@ -340,12 +415,12 @@ def run_frontier_round(
             survivors = t.join(
                 seen,
                 (t["seed_idx"] == seen["seed_idx"])
-                & (t["url_canon"] == seen["url_canon"])
+                & (t[join_key] == seen[join_key])
                 & t["_maybe"],
                 "left_anti",
             ).drop("_maybe")
     else:
-        survivors = cand.join(seen, ["seed_idx", "url_canon"], "left_anti")
+        survivors = cand.join(seen, ["seed_idx", join_key], "left_anti")
     if stage == "antijoin":
         r = _prefix_result(survivors)
         if tagged is not None:
@@ -354,8 +429,18 @@ def run_frontier_round(
     # persist IS the right call here (measured: dropping it and relying
     # on exchange reuse re-runs the Python bloom probe + anti-join for
     # each of the three budget-phase consumers — 551k/299k vs 689k/676k
-    # urls/s interleaved at local[16])
-    survivors = survivors.persist()
+    # urls/s interleaved at local[16]).  Persist ONLY the scheduling
+    # columns: the budget phase reads this frame twice (light/heavy
+    # branches) and shuffles the heavy branch, so every retained byte is
+    # paid >= 3x — the raw url string (the widest column) and bookkeeping
+    # columns are not needed downstream (the fetch join keys on
+    # fetch_key; a real scheduler re-reads payload by key at fetch time).
+    sched_cols = [
+        c
+        for c in ("seed_idx", "url_canon", "host", "parent_seq", "link_idx", "fetch_key")
+        if c in survivors.columns
+    ]
+    survivors = survivors.select(*sched_cols).persist()
     _dbg("survivors", survivors)
 
     # W1: the budget only binds on hosts with more than ``host_budget``
