@@ -11,6 +11,23 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def memo_key(spark: SparkSession, sf: str, src_name: str, *caches: dict) -> tuple:
+    """(session_token, path, mtime) memo key + eviction for per-session
+    write-once artifacts (near-dup edge sets, PQ code tables): entries
+    from stopped sessions, and entries whose source parquet was
+    rewritten at the same path, are dropped so the dicts stay bounded
+    and never serve stale frames (ADVICE r3)."""
+    tok = session_token(spark)
+    path = os.path.normpath(sf)
+    src = os.path.join(path, src_name)
+    mtime = os.path.getmtime(src) if os.path.exists(src) else 0.0
+    key = (tok, path, mtime)
+    for cache in caches:
+        for k in [k for k in cache if k[0] != tok or (k[1] == path and k != key)]:
+            cache.pop(k, None)
+    return key
+
+
 def materialize_report(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Eagerly evaluate a REPORT-SIZED result (a handful of audit rows —
     per-method recall, per-radius band recall) and return it as a local

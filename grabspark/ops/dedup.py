@@ -914,24 +914,9 @@ _EDGE_CACHE: dict = {}
 
 
 def _memo_key(spark: SparkSession, sf: str, *caches: dict) -> tuple:
-    """(session_token, path, mtime) memo key + eviction (ADVICE r3): the
-    write-once semantics hold within a live session over unchanged
-    fixtures — entries from stopped sessions, and entries whose parquet
-    was rewritten at the same path, are dropped so the dicts stay
-    bounded and never serve stale edges."""
-    import os
+    from .common import memo_key
 
-    from .common import session_token
-
-    tok = session_token(spark)
-    path = os.path.normpath(sf)
-    src = os.path.join(path, "documents.parquet")
-    mtime = os.path.getmtime(src) if os.path.exists(src) else 0.0
-    key = (tok, path, mtime)
-    for cache in caches:
-        for k in [k for k in cache if k[0] != tok or (k[1] == path and k != key)]:
-            cache.pop(k, None)
-    return key
+    return memo_key(spark, sf, "documents.parquet", *caches)
 
 
 def _ngram_edges(spark: SparkSession, sf: str) -> DataFrame:
