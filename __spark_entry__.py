@@ -280,6 +280,7 @@ _ROTATION_R4 = (
 # ahead of the already-graded rows)
 _ROTATION_NEXT = (
     "image_decode_once_curation",
+    "hits_hosts",
     "frontier_cardinality_sketch",
     "rendezvous_shard",
     "latency_quantile_sketch",

@@ -379,14 +379,132 @@ FROM ranked
 """
 
 
+# --- hits_hosts --------------------------------------------------------------
+#
+# HITS (Kleinberg 1999, public) complements PageRank for crawl
+# scheduling: hubs (directory/index pages that link out to many good
+# pages) deserve crawl budget even when their own in-link rank is low,
+# and authorities are the fetch targets hubs point at.  Same
+# deterministic host graph as pagerank_hosts; 2 mutual-reinforcement
+# iterations.  All arithmetic is order-free integer: per-iteration
+# scores are sums of (score * weight) products, then re-normalized to
+# _HITS_SCALE by an integer max-division — so Spark and DuckDB agree
+# bit-for-bit with no float summation anywhere.
+#
+# 100 TB shape: per half-iteration ONE join of the edge table with the
+# NODE-sized score table (broadcast at host cardinality; co-partitioned
+# on the join key when nodes outgrow broadcast) + one partial-agg
+# groupBy; the normalization max is a broadcast scalar.  Edges are
+# computed once and reused; K iterations shuffle only node-sized tables.
+
+_HITS_SCALE = 1_000_000
+_HITS_ITERS = 2
+
+
+def hits_hosts(spark: SparkSession, sf: str) -> DataFrame:
+    """(host, hub_ppm, auth_ppm): 2-iteration integer HITS over the
+    synthesized host graph (edge per customer: n{c_nationkey}.test ->
+    n{c_custkey % 25}.test, multi-edges kept as weights)."""
+    c = T(spark, sf, "customer").select(
+        F.col("c_nationkey").cast("long").alias("src"),
+        (F.col("c_custkey") % _PR_MOD).cast("long").alias("dst"),
+    )
+    edges = c.groupBy("src", "dst").agg(F.count("*").alias("w"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    hub = nodes.select("node", F.lit(_HITS_SCALE).cast("long").alias("s"))
+    auth = None
+    for _ in range(_HITS_ITERS):
+        a_raw = (
+            edges.join(hub, edges["src"] == hub["node"])
+            .select(F.col("dst").alias("node"), F.expr("s * w").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("raw"))
+        )
+        a_max = a_raw.agg(F.max("raw").alias("mx"))  # scalar aggregate
+        auth = nodes.join(a_raw, "node", "left").crossJoin(F.broadcast(a_max)).select(
+            "node",
+            F.expr(
+                f"(coalesce(raw, CAST(0 AS BIGINT)) * {_HITS_SCALE}) DIV mx"
+            ).cast("long").alias("s"),
+        )
+        h_raw = (
+            edges.join(auth, edges["dst"] == auth["node"])
+            .select(F.col("src").alias("node"), F.expr("s * w").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("raw"))
+        )
+        h_max = h_raw.agg(F.max("raw").alias("mx"))
+        hub = nodes.join(h_raw, "node", "left").crossJoin(F.broadcast(h_max)).select(
+            "node",
+            F.expr(
+                f"(coalesce(raw, CAST(0 AS BIGINT)) * {_HITS_SCALE}) DIV mx"
+            ).cast("long").alias("s"),
+        )
+    return (
+        hub.withColumnRenamed("s", "hub_ppm")
+        .join(auth.withColumnRenamed("s", "auth_ppm"), "node")
+        .select(
+            F.concat(F.lit("n"), F.col("node").cast("string"), F.lit(".test")).alias(
+                "host"
+            ),
+            "hub_ppm",
+            "auth_ppm",
+        )
+    )
+
+
+def _hits_sql() -> str:
+    parts = []
+    prev_h = "h0"
+    auth_name = "a0"
+    for k in range(1, _HITS_ITERS + 1):
+        parts.append(
+            f"ar{k} AS (SELECT e.dst AS node, sum({prev_h}.s * e.w) AS raw\n"
+            f"          FROM e JOIN {prev_h} ON e.src = {prev_h}.node GROUP BY e.dst),\n"
+            f"a{k} AS (SELECT n.node,\n"
+            f"                CAST((coalesce(ar{k}.raw, 0) * {_HITS_SCALE})\n"
+            f"                     // (SELECT max(raw) FROM ar{k}) AS BIGINT) AS s\n"
+            f"         FROM n LEFT JOIN ar{k} USING (node)),\n"
+            f"hr{k} AS (SELECT e.src AS node, sum(a{k}.s * e.w) AS raw\n"
+            f"          FROM e JOIN a{k} ON e.dst = a{k}.node GROUP BY e.src),\n"
+            f"h{k} AS (SELECT n.node,\n"
+            f"                CAST((coalesce(hr{k}.raw, 0) * {_HITS_SCALE})\n"
+            f"                     // (SELECT max(raw) FROM hr{k}) AS BIGINT) AS s\n"
+            f"         FROM n LEFT JOIN hr{k} USING (node))"
+        )
+        prev_h = f"h{k}"
+        auth_name = f"a{k}"
+    return f"""
+WITH e AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS src,
+         CAST(c_custkey % {_PR_MOD} AS BIGINT) AS dst,
+         count(*) AS w
+  FROM customer GROUP BY 1, 2
+),
+n AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
+h0 AS (SELECT node, CAST({_HITS_SCALE} AS BIGINT) AS s FROM n),
+{", ".join(parts)}
+SELECT 'n' || CAST(n.node AS VARCHAR) || '.test' AS host,
+       {prev_h}.s AS hub_ppm,
+       {auth_name}.s AS auth_ppm
+FROM n JOIN {prev_h} USING (node) JOIN {auth_name} USING (node)
+"""
+
+
 QUERIES = {
     "pagerank_hosts": pagerank_hosts,
     "phash_knn": phash_knn,
     "crawl_tiers": crawl_tiers,
+    "hits_hosts": hits_hosts,
 }
 
 ORACLES = {
     "pagerank_hosts": _pagerank_sql(),
     "phash_knn": _KNN_SQL,
     "crawl_tiers": _crawl_tiers_sql(),
+    "hits_hosts": _hits_sql(),
 }

@@ -441,6 +441,20 @@ def test_pagerank_iteration_joins_never_cartesian(spark):
     assert "BroadcastHashJoin" in p
 
 
+def test_hits_iteration_joins_never_cartesian(spark):
+    """HITS's 100 TB contract (same as PageRank's): each half-iteration
+    joins the edge table with the NODE-sized score table — broadcast at
+    host cardinality — and re-aggregates with a map-side partial; the
+    normalization max reaches the scores as a broadcast scalar.  No
+    cartesian products anywhere in the unrolled 2-iteration plan."""
+    from grabspark.ops.crawlgraph import hits_hosts
+
+    p = plan(hits_hosts(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    assert "partial_sum" in p or "partial_" in p.lower()
+
+
 def test_phash_knn_banded_join_and_rank_limit(spark):
     """phash_knn's scale contract: candidates come from the banded
     equi-join (never all-pairs), and the per-image top-k window pushes a
