@@ -281,6 +281,7 @@ _ROTATION_R4 = (
 _ROTATION_NEXT = (
     "image_decode_once_curation",
     "hits_hosts",
+    "zorder_layout_plan",
     "frontier_cardinality_sketch",
     "rendezvous_shard",
     "latency_quantile_sketch",

@@ -2225,6 +2225,95 @@ FROM per
 """
 
 
+# --- z-order write-layout audit ----------------------------------------------
+#
+# At 100 TB the file layout decides what a scan can prune: a page store
+# written in arrival order spreads every (host, time) predicate across
+# every file, while a z-order (Morton-interleaved) key clusters each
+# file into a small host x time rectangle so min/max file statistics
+# prune most of the store.  This op plans the layout and AUDITS it: each
+# event gets a 4+4-bit Morton key over (host_bucket, day_bucket), files
+# are 16 consecutive z values (a 4x4 tile), and the output compares the
+# per-file host/time spans of the z-order layout against a round-robin
+# (arrival-hash) baseline.  Pure integer arithmetic (bit extraction by
+# // and %), one partial-agg shuffle, no window — DuckDB replays it
+# exactly.
+#
+# 100 TB shape: the layout key is a map-side expression; the audit is
+# ONE groupBy (layout, file_id) with map-side partials.  Writing the
+# store z-ordered is then just `repartitionByRange(z_key)` at sink time.
+
+_Z_BITS = 4  # 16 host buckets x 16 day buckets -> 256 z values, 16 files
+
+
+def _z_interleave(h: str, t: str) -> str:
+    """Morton interleave of two _Z_BITS-bit integers as arithmetic."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"(({h}) DIV {1 << i} % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"(({t}) DIV {1 << i} % 2) * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+def zorder_layout_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """(layout, file_id, n, host_span, day_span): per-file bucket spans
+    of the z-order layout vs the round-robin baseline."""
+    e = T(spark, sf, "events").select(
+        F.expr("CAST(user_id % 16 AS BIGINT)").alias("hb"),
+        F.expr(
+            "CAST(CAST(unix_timestamp(ts) AS BIGINT) DIV 86400 % 16 AS BIGINT)"
+        ).alias("tb"),
+        F.col("event_id"),
+    )
+    z = e.withColumn("zk", F.expr(_z_interleave("hb", "tb")))
+    both = z.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.expr("CAST(zk DIV 16 AS BIGINT)").alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("roundrobin").alias("layout"),
+                    F.expr("CAST(event_id % 16 AS BIGINT)").alias("file_id"),
+                ),
+            )
+        ).alias("f"),
+        "hb",
+        "tb",
+    )
+    return (
+        both.groupBy(F.col("f.layout").alias("layout"), F.col("f.file_id").alias("file_id"))
+        .agg(
+            F.count("*").alias("n"),
+            (F.max("hb") - F.min("hb") + 1).cast("long").alias("host_span"),
+            (F.max("tb") - F.min("tb") + 1).cast("long").alias("day_span"),
+        )
+    )
+
+
+def _zorder_sql() -> str:
+    z = _z_interleave("hb", "tb").replace("DIV", "//")
+    return f"""
+WITH e AS (
+  SELECT CAST(user_id % 16 AS BIGINT) AS hb,
+         CAST(CAST(epoch(ts) AS BIGINT) // 86400 % 16 AS BIGINT) AS tb,
+         event_id
+  FROM events
+),
+z AS (SELECT hb, tb, event_id, {z} AS zk FROM e),
+both_l AS (
+  SELECT 'zorder' AS layout, CAST(zk // 16 AS BIGINT) AS file_id, hb, tb FROM z
+  UNION ALL
+  SELECT 'roundrobin' AS layout, CAST(event_id % 16 AS BIGINT) AS file_id, hb, tb FROM z
+)
+SELECT layout, file_id, count(*) AS n,
+       CAST(max(hb) - min(hb) + 1 AS BIGINT) AS host_span,
+       CAST(max(tb) - min(tb) + 1 AS BIGINT) AS day_span
+FROM both_l GROUP BY layout, file_id
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -2265,6 +2354,7 @@ QUERIES = {
     "robots_failure_policy": robots_failure_policy,
     "bloom_sizing_plan": bloom_sizing_plan,
     "adaptive_crawl_delay": adaptive_crawl_delay,
+    "zorder_layout_plan": zorder_layout_plan,
 }
 
 ORACLES = {
@@ -2307,4 +2397,5 @@ ORACLES = {
     "robots_failure_policy": _ROBOTS_POLICY_SQL,
     "bloom_sizing_plan": _bloom_plan_sql(),
     "adaptive_crawl_delay": _ACD_SQL,
+    "zorder_layout_plan": _zorder_sql(),
 }

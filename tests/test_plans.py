@@ -441,6 +441,20 @@ def test_pagerank_iteration_joins_never_cartesian(spark):
     assert "BroadcastHashJoin" in p
 
 
+def test_zorder_layout_single_partial_agg_no_window(spark):
+    """The layout audit's 100 TB contract: the Morton key and both file
+    assignments are map-side expressions; the audit is ONE partial-agg
+    groupBy — no join, no window, no global sort."""
+    import re
+
+    from grabspark.ops.relational import zorder_layout_plan
+
+    p = plan(zorder_layout_plan(spark, SF))
+    assert "Join" not in p and "Window" not in p and "CartesianProduct" not in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "partial_" in p.lower()
+
+
 def test_hits_iteration_joins_never_cartesian(spark):
     """HITS's 100 TB contract (same as PageRank's): each half-iteration
     joins the edge table with the NODE-sized score table — broadcast at
