@@ -435,9 +435,13 @@ def run_frontier_round(
     # paid >= 3x — the raw url string (the widest column) and bookkeeping
     # columns are not needed downstream (the fetch join keys on
     # fetch_key; a real scheduler re-reads payload by key at fetch time).
+    # in hashed mode the 8-byte key_hash replaces url_canon entirely
+    # below this point (salting keys on it too) — the URL string never
+    # enters the persisted frame
+    ident = "key_hash" if hashed else "url_canon"
     sched_cols = [
         c
-        for c in ("seed_idx", "url_canon", "host", "parent_seq", "link_idx", "fetch_key")
+        for c in ("seed_idx", ident, "host", "parent_seq", "link_idx", "fetch_key")
         if c in survivors.columns
     ]
     survivors = survivors.select(*sched_cols).persist()
@@ -458,7 +462,7 @@ def run_frontier_round(
     )
     light = survivors.join(F.broadcast(heavy_hosts), "host", "left_anti")
     heavy = survivors.join(F.broadcast(heavy_hosts), "host", "left_semi")
-    salt = F.pmod(F.xxhash64("url_canon"), F.lit(salt_buckets))
+    salt = F.pmod(F.xxhash64(ident), F.lit(salt_buckets))
     w1 = Window.partitionBy("host", "_salt").orderBy("parent_seq", "link_idx")
     phase1 = (
         heavy.withColumn("_salt", salt)
