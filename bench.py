@@ -203,8 +203,8 @@ def main() -> None:
         "seen_b", os.path.join(base, "seen_tbl"), ["key_hash"],
     )
     bench_core.write_bucketed(
-        bench_core.synth_store_df(spark, FRONTIER_N // 2, FRONTIER_N, 1024),
-        "store_b", os.path.join(base, "store_tbl"), ["image_id"],
+        bench_core.synth_store_hash_df(spark, FRONTIER_N // 2, FRONTIER_N, 1024),
+        "store_b", os.path.join(base, "store_tbl"), ["fkey_hash"],
     )
     seen_path, store_path = "table:seen_b", "table:store_b"
     from grabspark.bloom import bloom_bits_for

@@ -113,10 +113,16 @@ def prepare(data_dir: str, n_frontier: int, layout: str = "hash") -> None:
             bench_core.synth_seen_df(spark, n_frontier, n_frontier, 1024),
             "seen_b", os.path.join(data_dir, "seen_tbl"), ["url_canon"], n_buckets,
         )
-    bench_core.write_bucketed(
-        bench_core.synth_store_df(spark, n_frontier // 2, n_frontier, 1024),
-        "store_b", os.path.join(data_dir, "store_tbl"), ["image_id"], n_buckets,
-    )
+    if layout == "hash":
+        bench_core.write_bucketed(
+            bench_core.synth_store_hash_df(spark, n_frontier // 2, n_frontier, 1024),
+            "store_b", os.path.join(data_dir, "store_tbl"), ["fkey_hash"], n_buckets,
+        )
+    else:
+        bench_core.write_bucketed(
+            bench_core.synth_store_df(spark, n_frontier // 2, n_frontier, 1024),
+            "store_b", os.path.join(data_dir, "store_tbl"), ["image_id"], n_buckets,
+        )
     bl = bench_core.build_seen_bloom(spark, "table:seen_b", n_bits=n_bits)
     bl.save(os.path.join(data_dir, "bloom"))
     with open(os.path.join(data_dir, "meta.json"), "w") as f:
@@ -158,8 +164,13 @@ def measure(data_dir: str, cores: int, out: str) -> None:
     bench_core.attach_bucketed(
         spark, "seen_b", seen_ddl, os.path.join(data_dir, "seen_tbl"), n_buckets
     )
+    store_ddl = (
+        bench_core.STORE_HASH_TBL_DDL
+        if meta.get("layout", "string") == "hash"
+        else bench_core.STORE_TBL_DDL
+    )
     bench_core.attach_bucketed(
-        spark, "store_b", bench_core.STORE_TBL_DDL, os.path.join(data_dir, "store_tbl"), n_buckets
+        spark, "store_b", store_ddl, os.path.join(data_dir, "store_tbl"), n_buckets
     )
     seen = "table:seen_b"
     store = "table:store_b"
@@ -208,8 +219,13 @@ def measure_breakdown(data_dir: str, cores: int, out: str) -> None:
     bench_core.attach_bucketed(
         spark, "seen_b", seen_ddl, os.path.join(data_dir, "seen_tbl"), n_buckets
     )
+    store_ddl = (
+        bench_core.STORE_HASH_TBL_DDL
+        if meta.get("layout", "string") == "hash"
+        else bench_core.STORE_TBL_DDL
+    )
     bench_core.attach_bucketed(
-        spark, "store_b", bench_core.STORE_TBL_DDL, os.path.join(data_dir, "store_tbl"), n_buckets
+        spark, "store_b", store_ddl, os.path.join(data_dir, "store_tbl"), n_buckets
     )
     bl = ShardedBloom.load(os.path.join(data_dir, "bloom"))
     calib_n = 8_000_000_000  # ~5s at 32 cores: long enough to dwarf task-scheduling overhead

@@ -156,6 +156,18 @@ def synth_store_df(spark: SparkSession, n: int, n_frontier: int, n_hosts: int) -
     )
 
 
+def synth_store_hash_df(
+    spark: SparkSession, n: int, n_frontier: int, n_hosts: int
+) -> DataFrame:
+    """Page store in the hashed layout: fkey_hash first (bucket/sort
+    key), image_id retained for audit only."""
+    s = synth_store_df(spark, n, n_frontier, n_hosts)
+    return s.select(
+        F.xxhash64("image_id").alias("fkey_hash"),
+        "image_id", "w", "h", "fmt", "caption", "phash",
+    )
+
+
 def synth_store(spark: SparkSession, n: int, n_frontier: int, n_hosts: int, path: str) -> str:
     synth_store_df(spark, n, n_frontier, n_hosts).write.mode("overwrite").parquet(path)
     return path
@@ -208,6 +220,17 @@ STORE_TBL_DDL = (
     "(image_id STRING, w INT, h INT, fmt STRING, caption STRING, phash BIGINT) "
     "USING parquet CLUSTERED BY (image_id) "
     "SORTED BY (image_id) INTO {nb} BUCKETS LOCATION '{path}'"
+)
+# Hashed store layout (r4, same rationale as SEEN_HASH_TBL_DDL): the
+# fetch lookup join probes fkey_hash = xxhash64(image_id) (8 B) instead
+# of the URL string; image_id stays in the files for the audit path but
+# the join scan reads only (fkey_hash, fmt, phash).
+STORE_HASH_TBL_DDL = (
+    "CREATE TABLE IF NOT EXISTS {name} "
+    "(fkey_hash BIGINT, image_id STRING, w INT, h INT, fmt STRING, caption STRING, "
+    "phash BIGINT) "
+    "USING parquet CLUSTERED BY (fkey_hash) "
+    "SORTED BY (fkey_hash) INTO {nb} BUCKETS LOCATION '{path}'"
 )
 
 
@@ -439,9 +462,17 @@ def run_frontier_round(
     # below this point (salting keys on it too) — the URL string never
     # enters the persisted frame
     ident = "key_hash" if hashed else "url_canon"
+    store_hashed = store is not None and "fkey_hash" in store.columns
+    if store_hashed:
+        # fixed-width scheduling frame: the fetch key is hashed too, so
+        # no string wider than the host label survives the anti-join
+        survivors = survivors.withColumn("fk_hash", F.xxhash64("fetch_key")).drop(
+            "fetch_key"
+        )
+    fetch_col = "fk_hash" if store_hashed else "fetch_key"
     sched_cols = [
         c
-        for c in ("seed_idx", ident, "host", "parent_seq", "link_idx", "fetch_key")
+        for c in ("seed_idx", ident, "host", "parent_seq", "link_idx", fetch_col)
         if c in survivors.columns
     ]
     survivors = survivors.select(*sched_cols).persist()
@@ -484,11 +515,18 @@ def run_frontier_round(
         survivors.unpersist()
         return r
     if store is not None:
-        sched = sched.join(
-            store.select("image_id", "fmt", "phash"),
-            F.col("fetch_key") == F.col("image_id"),
-            "left",
-        )
+        if store_hashed:
+            sched = sched.join(
+                store.select("fkey_hash", "fmt", "phash"),
+                F.col("fk_hash") == F.col("fkey_hash"),
+                "left",
+            )
+        else:
+            sched = sched.join(
+                store.select("image_id", "fmt", "phash"),
+                F.col("fetch_key") == F.col("image_id"),
+                "left",
+            )
     n_sched = sched.count()
     elapsed = time.time() - t0
     if tagged is not None:

@@ -41,17 +41,30 @@ def no_broadcast(spark):
 
 
 def test_hashed_layout_schedules_identical_rows(spark, tmp_path, no_broadcast):
-    """Same synthetic round, both layouts, with the inline Bloom: the
-    scheduled set must be IDENTICAL (64-bit collisions are the only
-    divergence mode; none occur at any bench scale)."""
+    """Same synthetic round, both layouts (seen AND store hashed), with
+    the inline Bloom and the fetch lookup join: the scheduled set must
+    be IDENTICAL (64-bit collisions are the only divergence mode; none
+    occur at any bench scale)."""
     seen_s = _prep(spark, tmp_path, hashed=False)
     seen_h = _prep(spark, tmp_path, hashed=True)
+    bench_core.write_bucketed(
+        bench_core.synth_store_df(spark, N // 2, N, N_HOSTS),
+        "store_layout_s", str(tmp_path / "st_s"), ["image_id"],
+    )
+    bench_core.write_bucketed(
+        bench_core.synth_store_hash_df(spark, N // 2, N, N_HOSTS),
+        "store_layout_h", str(tmp_path / "st_h"), ["fkey_hash"],
+    )
     bl_s = bench_core.build_seen_bloom(spark, seen_s, n_bits=1 << 20, n_shards=4)
     bl_h = bench_core.build_seen_bloom(spark, seen_h, n_bits=1 << 20, n_shards=4)
-    r_s = bench_core.run_frontier_round(spark, N, seen_s, None, bl_s, n_hosts=N_HOSTS)
-    r_h = bench_core.run_frontier_round(spark, N, seen_h, None, bl_h, n_hosts=N_HOSTS)
+    r_s = bench_core.run_frontier_round(
+        spark, N, seen_s, "table:store_layout_s", bl_s, n_hosts=N_HOSTS
+    )
+    r_h = bench_core.run_frontier_round(
+        spark, N, seen_h, "table:store_layout_h", bl_h, n_hosts=N_HOSTS
+    )
     assert r_s.scheduled == r_h.scheduled > 0
-    for name in ("seen_layout_s", "seen_layout_h"):
+    for name in ("seen_layout_s", "seen_layout_h", "store_layout_s", "store_layout_h"):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
