@@ -133,8 +133,23 @@ def image_phash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     verified in tests).  Signatures are ~100 B/image vs KB-MB of pixels
     — materializing them is the standard LSH shape (at full scale they
     would be written to a signatures table; persist is the in-memory
-    equivalent)."""
-    return _banded_near_dup_pairs(phash_signatures(_corpus_df(spark)))
+    equivalent).  The pair set is materialized and the band cache
+    released before returning (same lifecycle as phash_band_recall)."""
+    return _neardup_pairs_released(spark, phash_signatures(_corpus_df(spark)))
+
+
+def _neardup_pairs_released(spark: SparkSession, sig: DataFrame) -> DataFrame:
+    """Run the banded self-join, materialize the (fixture-scale) pair
+    set, and release the band cache — repeated gate invocations on a
+    long-lived session must not accumulate cached partitions."""
+    from .common import materialize_report
+
+    persisted: list = []
+    try:
+        return materialize_report(spark, _banded_near_dup_pairs(sig, persisted))
+    finally:
+        for df in persisted:
+            df.unpersist()
 
 
 def _banded_near_dup_pairs(sig: DataFrame, persisted: list | None = None) -> DataFrame:
@@ -240,7 +255,7 @@ def dhash_signatures(images: DataFrame) -> DataFrame:
 def image_dhash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     """Banded dHash near-dup pairs (same 4x16 banding and hamming <=
     HAM_MAX verify as the pHash query; different underlying hash)."""
-    return _banded_near_dup_pairs(dhash_signatures(_corpus_df(spark)))
+    return _neardup_pairs_released(spark, dhash_signatures(_corpus_df(spark)))
 
 
 # --- features ---------------------------------------------------------------

@@ -48,10 +48,12 @@ def test_image_features_match_golden(spark):
 
 def test_near_dup_plan_is_bucketed_not_allpairs(spark):
     """Candidate generation must be an equi-join on (band, bucket) —
-    no CartesianProduct / BroadcastNestedLoopJoin anywhere."""
+    no CartesianProduct / BroadcastNestedLoopJoin anywhere.  (The
+    public query materializes its result to release the band cache, so
+    the assertion runs on the inner pipeline it executes.)"""
     from tests.test_plans import plan
 
-    p = plan(im.image_phash_near_dup(spark, "unused"))
+    p = plan(im._banded_near_dup_pairs(im.phash_signatures(im._corpus_df(spark))))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
 
@@ -63,11 +65,30 @@ def test_near_dup_decodes_each_image_once(spark):
     twice)."""
     import re
 
-    df = im.image_phash_near_dup(spark, "unused")
-    df.collect()
-    p = df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    persisted = []
+    df = im._banded_near_dup_pairs(
+        im.phash_signatures(im._corpus_df(spark)), persisted
     )
-    n_kernels = len(re.findall(r"\(\d+\) MapInPandas", p))
-    assert n_kernels <= 1, f"decode kernel appears {n_kernels}x in executed plan"
-    assert "InMemoryTableScan" in p or "TableCacheQueryStage" in p
+    try:
+        df.collect()
+        p = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        n_kernels = len(re.findall(r"\(\d+\) MapInPandas", p))
+        assert n_kernels <= 1, f"decode kernel appears {n_kernels}x in executed plan"
+        assert "InMemoryTableScan" in p or "TableCacheQueryStage" in p
+    finally:
+        for d in persisted:
+            d.unpersist()
+
+
+def test_near_dup_queries_release_their_caches(spark):
+    """The public pair queries materialize and release the band cache —
+    no persisted RDDs accumulate across invocations."""
+    def n_persisted():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    before = n_persisted()
+    assert im.image_phash_near_dup(spark, "unused").count() > 0
+    assert im.image_dhash_near_dup(spark, "unused").count() > 0
+    assert n_persisted() <= before
