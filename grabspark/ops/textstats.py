@@ -935,7 +935,8 @@ def vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
 def _vocab_sql() -> str:
     selects = " UNION ALL ".join(
         f"SELECT CAST({k} AS INT) AS k, max(vocab_size) AS vocab_size, "
-        f"sum(CASE WHEN rk <= {k} THEN n ELSE 0 END) * 10000 // max(total) AS covered_bp "
+        f"CAST(sum(CASE WHEN rk <= {k} THEN n ELSE 0 END) * 10000 // max(total) "
+        f"AS BIGINT) AS covered_bp "
         f"FROM ranked"
         for k in _VOCAB_KS
     )
@@ -1149,8 +1150,8 @@ cums AS (
   FROM toks
 )
 SELECT lang, shard, doc_id, tok,
-       (cum - tok) // {_PACK_BUDGET} AS seq_id,
-       (cum - tok) % {_PACK_BUDGET} AS start_off,
+       CAST((cum - tok) // {_PACK_BUDGET} AS BIGINT) AS seq_id,
+       CAST((cum - tok) % {_PACK_BUDGET} AS BIGINT) AS start_off,
        (cum - 1) // {_PACK_BUDGET} > (cum - tok) // {_PACK_BUDGET} AS straddles
 FROM cums
 """
@@ -1314,7 +1315,8 @@ WITH counts AS (
 ),
 norms AS (SELECT source, sqrt(CAST(sum(c * c) AS DOUBLE)) AS nrm FROM counts GROUP BY source),
 dots AS (
-  SELECT a.source AS source_a, b.source AS source_b, sum(a.c * b.c) AS dot
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(sum(a.c * b.c) AS BIGINT) AS dot
   FROM counts a JOIN counts b USING (tok)
   WHERE a.source < b.source
   GROUP BY a.source, b.source

@@ -81,6 +81,26 @@ def test_query_matches_oracle(name, spark, duck, contract):
     assert got == want, f"{name}: values differ\n spark: {got[:3]}\n duck:  {want[:3]}"
 
 
+def test_no_oracle_emits_decimal_types(duck, contract):
+    """DuckDB promotes sum(BIGINT) to HUGEINT, which Arrow surfaces as
+    decimal128(38,0); the driver's type-sensitive value hash then rejects
+    a value-exact Spark int64 result (round-4 pack_sequences red row).
+    Catch the whole class: no oracle may type any column (or nested
+    element) as HUGEINT/DECIMAL — cast to BIGINT/DOUBLE at the source."""
+    _, oracles = contract
+    offenders = {}
+    for name, sql in oracles.items():
+        rows = duck.execute(f"DESCRIBE {sql}").fetchall()
+        bad = [
+            (col, typ)
+            for col, typ, *_ in rows
+            if "HUGEINT" in typ.upper() or "DECIMAL" in typ.upper()
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"oracles emitting hash-unstable types: {offenders}"
+
+
 def test_every_query_has_an_oracle(contract):
     """Round 2 closed the two rows-only gaps: every queries() entry now
     carries a DuckDB oracle (golden parquet for the crawl trace + image
