@@ -213,12 +213,16 @@ def _export_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The driver gate grades exactly the FIRST 50 entries of queries() in
 # insertion order (CORRECTNESS_r02/r03.json: 50 rows = queries 0..49).
-# Round-4 ROTATION (VERDICT r3 task 4): 58 ops earned driver rows in
-# r1–r3 and 61 never have.  This round pins the 15 flagship [REF-EXACT]
-# rows and fills the other 35 slots with never-graded ops so they earn
-# driver-graded rows; the 26 still-ungraded ops are queued first among
-# positions 51+ for the round-5 window.  Every op keeps its local gate
-# mirror (tests/test_ops_oracle.py) regardless of window position.
+# Round-5 ROTATION (VERDICT r4 task 2): the 15 flagship [REF-EXACT] rows
+# stay pinned; the 29 ops that never earned a driver row in r1–r4 fill
+# the next 29 slots (completing the rotation — after this round every
+# queries() entry has ≥1 driver-graded CORRECTNESS row); the remaining
+# 6 slots are targeted re-grades: pack_sequences (r4's red row, oracle
+# cast fixed this round), ann_recall_report (PQ recall re-tuned),
+# dedup_ngram_jaccard (r4 regression re-measured), and the r1–r3-only
+# snapshot rows upsert_merge / ttl_delete / metrics_rollup.  Every op
+# keeps its local gate mirror (tests/test_ops_oracle.py) regardless of
+# window position.
 _PINNED_FLAGSHIP = (
     "crawl_bfs_trace",
     "image_validation",
@@ -237,7 +241,8 @@ _PINNED_FLAGSHIP = (
     "robots_txt_parse",
 )
 
-# 35 ops with no CORRECTNESS row in r1–r3, graded this round
+# 35 ops graded in the round-4 window (driver rows earned; now queued
+# after the round-5 window)
 _ROTATION_R4 = (
     "containment_dedup",
     "adaptive_crawl_delay",
@@ -276,9 +281,9 @@ _ROTATION_R4 = (
     "leakage_safe_split",
 )
 
-# never-graded ops queued for the round-5 window (positions 51+,
-# ahead of the already-graded rows)
-_ROTATION_NEXT = (
+# the 29 ops with no driver row in r1–r4 — graded this round
+# (window positions 15..43)
+_ROTATION_R5 = (
     "image_decode_once_curation",
     "hits_hosts",
     "zorder_layout_plan",
@@ -308,6 +313,17 @@ _ROTATION_NEXT = (
     "bloom_sizing_plan",
     "image_resize_plan",
     "source_similarity",
+)
+
+# targeted re-grades filling window positions 44..49 (see rotation
+# comment above for why each)
+_REGRADE_R5 = (
+    "pack_sequences",
+    "ann_recall_report",
+    "dedup_ngram_jaccard",
+    "upsert_merge",
+    "ttl_delete",
+    "metrics_rollup",
 )
 
 # Queries that are intermediates or small-scale oracle twins of an
@@ -362,7 +378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_pages": _export_pages,
     }
     allq = {**entry_only, **ops.all_queries()}
-    ordered = _PINNED_FLAGSHIP + _ROTATION_R4 + _ROTATION_NEXT
+    ordered = _PINNED_FLAGSHIP + _ROTATION_R5 + _REGRADE_R5 + _ROTATION_R4
     out = {name: allq[name] for name in ordered}
     # already-graded rows displaced from the window, then the subsumed
     # intermediates last
