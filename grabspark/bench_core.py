@@ -202,13 +202,16 @@ SEEN_TBL_DDL = (
 # scaling wall is memory bandwidth — every round re-scans the full
 # string-keyed seen table (~48 B/row of URL text) just to probe key
 # equality.  Storing the join key as xxhash64(url_canon) (8 B) shrinks
-# the bytes the probe scan touches ~7x; the string column STAYS in the
-# table for the audit/confirm path but is never selected by the round,
-# so parquet column pruning keeps it off the bus.  The join is exact up
-# to 64-bit hash collisions: P(any collision) ~ n_cand * n_seen / 2^64
-# ~ 7e-7 at the 4M-row bench (verified empirically identical to the
-# string layout by tests/test_bench_layouts.py); the GRADED engine keeps
-# full string-key semantics.
+# the bytes the MAIN probe scan touches ~7x; the string column stays in
+# the table and (since r5) the CONFIRM PATH in run_frontier_round
+# re-checks every hash-matched row against it, so the benched shape is
+# string-exact at any keyspace — no silently dropped URL even at the
+# 10^10-key frontier, where per-round collision probability reaches the
+# percent range.  tests/test_bench_layouts.py pins both equivalence with
+# the string layout (including a synthetically planted collision) and
+# the plan properties (keys-only main scan, single confirm scan, reused
+# candidate exchange).  The GRADED engine keeps full string-key
+# semantics throughout.
 SEEN_HASH_TBL_DDL = (
     "CREATE TABLE IF NOT EXISTS {name} "
     "(seed_idx INT, key_hash BIGINT, url_canon STRING, first_seq BIGINT, round INT) "
@@ -310,13 +313,20 @@ def run_frontier_round(
     space_unit: int | None = None,
     stage: str = "full",
     n_partitions: int = N_BUCKETS,
+    confirm: bool = True,
 ) -> FrontierBenchResult:
     """``stage`` truncates the round for the scaling breakdown
     (bench_scaling --breakdown): "dedupe" stops after parse+dedupe,
     "antijoin" after Bloom+seen anti-join, "budget" after the politeness
     ranking, "full" (default) runs the whole round incl. the fetch
     lookup join.  Each prefix ends in one count() action, so per-stage
-    cost = t(prefix_i) - t(prefix_{i-1}) across separate JVMs."""
+    cost = t(prefix_i) - t(prefix_{i-1}) across separate JVMs.
+
+    ``confirm`` (hashed layouts only, default ON): re-check every
+    hash-matched row on the retained string key so the 8-byte join is
+    exactness-preserving at ANY keyspace — see the CONFIRM PATH comment
+    in the body.  ``confirm=False`` keeps the r4 hash-only shape for
+    A/B measurement."""
     from pyspark.sql.types import BooleanType
 
     debug = os.environ.get("GRABSPARK_BENCH_DEBUG") == "1"
@@ -381,6 +391,11 @@ def run_frontier_round(
         # check is syntactic, not semantic)
         cand = cand.withColumn("key_hash", F.xxhash64("url_canon"))
         cand = cand.repartition(n_partitions, "key_hash")
+        # pre-dedupe frame kept for the confirm path: it sits directly on
+        # the round's single exchange, so the confirm branch re-reads
+        # shuffle files (ReusedExchange) instead of re-running the Arrow
+        # parse or the dedupe aggregate
+        cand_pre = cand
         # dedupe stays EXACT (url_canon is still a grouping key — equal
         # hashes with unequal urls do not merge); key_hash joins the keys
         # only so the hash-partitioning satisfies the distribution
@@ -444,6 +459,56 @@ def run_frontier_round(
             ).drop("_maybe")
     else:
         survivors = cand.join(seen, ["seed_idx", join_key], "left_anti")
+    if hashed and confirm:
+        # CONFIRM PATH (exactness at any keyspace): the hash-keyed
+        # anti-join is exact only up to 64-bit collisions — a candidate
+        # whose key_hash equals an UNRELATED seen row's hash is silently
+        # dropped (P ~ n_cand*n_seen/2^64 per round; percent-range at the
+        # north rule's 10^10-key frontier).  Re-check every hash-matched
+        # row on the url_canon string retained in the seen files, and
+        # restore the rows whose hash matched but whose string matched
+        # NOTHING (the collisions).  Shape matters here:
+        #   - the confirm branch consumes the SAME full-column candidate
+        #     exchange as the main branch (cand_pre, the round's single
+        #     repartition), so ReuseExchange dedupes the shuffle and the
+        #     Arrow URL parse runs ONCE — a pruned 3-column projection
+        #     would split the exchange and re-parse the whole batch;
+        #   - hash-matched rows come from an inner join against ONE
+        #     extra seen scan (seed_idx, key_hash, url_canon), probed
+        #     per-bucket (shuffled-hash, build = the ~250k-row seen
+        #     bucket, bounded by buckets_for at any table size; no
+        #     seen-side sort, no new exchange);
+        #   - the dedupe aggregate and the string check FUSE into one
+        #     group-by over the matched rows only (grouping keys contain
+        #     the partitioning key — no exchange), so restored rows come
+        #     out first-occurrence-deduped exactly like survivors.
+        # The main anti-join above is untouched — its seen scan still
+        # reads (seed_idx, key_hash) only (plan-guarded).
+        seen_str = seen_raw.select(
+            "seed_idx", "key_hash", F.col("url_canon").alias("_seen_url")
+        )
+        matched = cand_pre.join(
+            seen_str.hint("shuffle_hash"), ["seed_idx", "key_hash"], "inner"
+        )
+        m_other = [
+            c
+            for c in cand_pre.columns
+            if c not in ("seed_idx", "url_canon", "key_hash")
+        ]
+        restored = (
+            matched.groupBy("seed_idx", "key_hash", "url_canon")
+            .agg(
+                F.min_by(
+                    F.struct(*m_other), F.struct("parent_seq", "link_idx")
+                ).alias("_r"),
+                F.max(
+                    (F.col("_seen_url") == F.col("url_canon")).cast("int")
+                ).alias("_hit"),
+            )
+            .filter(F.col("_hit") == 0)
+            .select("seed_idx", "key_hash", "url_canon", "_r.*")
+        )
+        survivors = survivors.unionByName(restored.select(*survivors.columns))
     if stage == "antijoin":
         r = _prefix_result(survivors)
         if tagged is not None:
@@ -465,15 +530,22 @@ def run_frontier_round(
     store_hashed = store is not None and "fkey_hash" in store.columns
     if store_hashed:
         # fixed-width scheduling frame: the fetch key is hashed too, so
-        # no string wider than the host label survives the anti-join
-        survivors = survivors.withColumn("fk_hash", F.xxhash64("fetch_key")).drop(
-            "fetch_key"
-        )
+        # no string wider than the host label survives the anti-join.
+        # In confirm mode the fetch_key string rides along so the lookup
+        # join can re-check hash-matched store rows on image_id (the
+        # persist widens by one string — the measured price of a
+        # collision-proof fetch at the 10^10 keyspace).
+        survivors = survivors.withColumn("fk_hash", F.xxhash64("fetch_key"))
+        if not confirm:
+            survivors = survivors.drop("fetch_key")
     fetch_col = "fk_hash" if store_hashed else "fetch_key"
     sched_cols = [
         c
-        for c in ("seed_idx", ident, "host", "parent_seq", "link_idx", fetch_col)
-        if c in survivors.columns
+        for c in (
+            "seed_idx", ident, "host", "parent_seq", "link_idx", fetch_col,
+            "fetch_key" if store_hashed and confirm else None,
+        )
+        if c is not None and c in survivors.columns
     ]
     survivors = survivors.select(*sched_cols).persist()
     _dbg("survivors", survivors)
@@ -515,7 +587,24 @@ def run_frontier_round(
         survivors.unpersist()
         return r
     if store is not None:
-        if store_hashed:
+        if store_hashed and confirm:
+            # collision-proof fetch: the join also requires
+            # image_id == fetch_key, so a 64-bit collision between two
+            # image ids reads as a store MISS, never a wrong payload —
+            # exactly the string layout's rows.  shuffle_hash keeps the
+            # string OUT of any sort: the build side is one bucketed
+            # store partition (~250k rows, bounded by buckets_for at any
+            # table size), probed hash-first, the string compared only
+            # on hash-equal pairs.
+            sched = sched.join(
+                store.select("fkey_hash", "image_id", "fmt", "phash").hint(
+                    "shuffle_hash"
+                ),
+                (F.col("fk_hash") == F.col("fkey_hash"))
+                & (F.col("fetch_key") == F.col("image_id")),
+                "left",
+            ).drop("image_id")
+        elif store_hashed:
             sched = sched.join(
                 store.select("fkey_hash", "fmt", "phash"),
                 F.col("fk_hash") == F.col("fkey_hash"),
