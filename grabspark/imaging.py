@@ -10,6 +10,13 @@ no image libraries, so the codecs are deterministic numpy transforms
 * ``qraw`` — 6-bit/channel quantization, our stand-in lossy codec:
   encode p -> p >> 2, decode q -> (q << 2) + 2 (midpoint reconstruction,
   max abs error 2, PSNR ≈ 46 dB > the required 40 dB).
+* ``tdct`` — JPEG-shaped transform codec: per-channel 8x8 block DCT,
+  uniform coefficient quantization (step 4 -> PSNR ≈ 47 dB), zlib
+  entropy stage over the int16 coefficient stream.  Deterministic numpy
+  + zlib only, but the decode pays the three real JPEG cost centers
+  (entropy decode + dequant + inverse DCT), so decode-cost-sensitive
+  benchmarks (the decode-once composed round) see a realistic profile
+  instead of the ~free raw memcpy.
 
 Reference pixels are PRNG-derived from ``image_id`` alone, so the
 validator recomputes them independently of the store (FIXTURES.md §1).
@@ -44,10 +51,14 @@ def encode_image(px: np.ndarray, fmt: str) -> bytes:
         return px.astype(np.uint8).tobytes()
     if fmt == "qraw":
         return (px.astype(np.uint8) >> 2).tobytes()
+    if fmt == "tdct":
+        return _tdct_encode(px)
     raise ValueError(f"unknown fmt: {fmt}")
 
 
 def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+    if fmt == "tdct":
+        return _tdct_decode(data, w, h)
     arr = np.frombuffer(data, dtype=np.uint8)
     if arr.size != w * h * 3:
         raise ValueError(f"byte length {arr.size} != {w}x{h}x3")
@@ -57,6 +68,46 @@ def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     if fmt == "qraw":
         return ((arr.astype(np.uint16) << 2) + 2).clip(0, 255).astype(np.uint8)
     raise ValueError(f"unknown fmt: {fmt}")
+
+
+# --- tdct: block-DCT transform codec ----------------------------------------
+
+_TDCT_STEP = 4.0  # uniform quantizer step; MSE ~ step^2/12 -> ~47 dB
+
+
+def _tdct_blocks(px: np.ndarray) -> np.ndarray:
+    '''(h, w, 3) -> (n_blocks, 3, 8, 8) float64 blocks (h, w % 8 == 0).'''
+    h, w, _ = px.shape
+    b = px.astype(np.float64).reshape(h // 8, 8, w // 8, 8, 3)
+    return b.transpose(0, 2, 4, 1, 3).reshape(-1, 3, 8, 8)
+
+
+def _tdct_encode(px: np.ndarray) -> bytes:
+    import zlib
+
+    h, w, _ = px.shape
+    if h % 8 or w % 8:
+        raise ValueError(f"tdct needs 8-aligned dims, got {w}x{h}")
+    blocks = _tdct_blocks(px)
+    coef = _DCT_M8F @ blocks @ _DCT_M8F.T
+    q = np.round(coef / _TDCT_STEP).astype(np.int16)
+    return zlib.compress(q.tobytes(), 1)
+
+
+def _tdct_decode(data: bytes, w: int, h: int) -> np.ndarray:
+    import zlib
+
+    raw = zlib.decompress(data)
+    nb = (h // 8) * (w // 8)
+    q = np.frombuffer(raw, dtype=np.int16).reshape(nb, 3, 8, 8)
+    coef = q.astype(np.float64) * _TDCT_STEP
+    blocks = _DCT_M8F.T @ coef @ _DCT_M8F
+    out = (
+        blocks.reshape(h // 8, w // 8, 3, 8, 8)
+        .transpose(0, 3, 1, 4, 2)
+        .reshape(h, w, 3)
+    )
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
@@ -86,6 +137,9 @@ def _dct_matrix(n: int = _DCT_N) -> np.ndarray:
 
 
 _DCT_M = _dct_matrix()
+# full orthonormal 8x8 DCT basis for the tdct block codec (inverse =
+# transpose)
+_DCT_M8F = _dct_matrix(8)
 # only the top-left 8x8 coefficient block feeds the hash, so only the
 # first 8 DCT basis rows are ever needed: (8,32)@(32,32)@(32,8) is ~6x
 # fewer flops than the full transform

@@ -34,3 +34,28 @@ def test_image_round_deterministic(spark):
         r2.n_bytes,
         r2.min_psnr_db,
     )
+
+
+def test_image_round_validates_tdct_store(spark):
+    """The tdct codec (decode-once round's store) passes the same
+    north-rule invariant: PSNR >= 40 dB + recomputed phash match."""
+    path = os.path.join(tempfile.mkdtemp(prefix="grabspark-imgbench-"), "store")
+    bench_core.synth_images_parquet(spark, 64, path, n_files=4, fmts=("tdct",))
+    r = bench_core.run_image_round(spark, path)
+    assert r.n_images == 64
+    assert r.n_pixels_ok == 64
+    assert r.n_phash_ok == 64
+    assert r.min_psnr_db >= 40.0
+
+
+def test_decode_once_round_cross_checks(spark):
+    """run_decode_once_round's composed pass must agree with the five
+    single-signal jobs AND the naive assembled verdict (the function
+    asserts all cross-checks internally); planted exact-pixel duplicates
+    must be found by both pipelines."""
+    path = os.path.join(tempfile.mkdtemp(prefix="grabspark-imgbench-"), "store")
+    bench_core.synth_images_parquet(spark, 128, path, n_files=4, fmts=("tdct",))
+    r = bench_core.run_decode_once_round(spark, path)
+    assert r.n_images == 128
+    assert r.composed_sec > 0 and r.naive_verdict_sec > 0
+    assert r.n_keep + r.n_pixel_dups + r.n_blurry + r.n_gray >= r.n_keep

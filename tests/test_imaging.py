@@ -74,3 +74,23 @@ def test_psnr_integer_intermediates_exact(seed, w, h):
     mse = np.mean(d * d)
     want = float("inf") if mse == 0.0 else float(10.0 * np.log10(255.0 * 255.0 / mse))
     assert imaging.psnr(a, b) == want
+
+
+@given(st.integers(0, 10**6), st.sampled_from([8, 16, 24, 48]), st.sampled_from([8, 16, 32, 48]))
+@settings(max_examples=25, deadline=None)
+def test_tdct_roundtrip_quality_and_determinism(seed, w, h):
+    """tdct (block-DCT + quant + zlib): deterministic encode, decode
+    reconstructs above the 40 dB lossy floor for any 8-aligned size —
+    even on PRNG noise images, the hardest case for transform coding."""
+    px = imaging.pixels_from_id(f"http://t{seed}.test/x", w, h)
+    b = imaging.encode_image(px, "tdct")
+    assert b == imaging.encode_image(px, "tdct")
+    out = imaging.decode_image(b, w, h, "tdct")
+    assert out.shape == (h, w, 3) and out.dtype == np.uint8
+    assert imaging.psnr(px, out) >= imaging.PSNR_LOSSY_MIN_DB
+
+
+def test_tdct_rejects_unaligned_dims():
+    px = imaging.pixels_from_id("http://t.test/x", 12, 8)
+    with pytest.raises(ValueError):
+        imaging.encode_image(px, "tdct")
