@@ -696,13 +696,15 @@ SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
 
 _PQ_M = 8      # subspaces
 _PQ_SUBD = 8   # dims per subspace (embeddings are 64-dim)
-# r4 tuning (VERDICT r3 task 5): K 16 -> 64 codes/subspace lifts ADC
-# resolution (recall@10 at a fixed 10% rescore: 0.5 -> 0.7 at sf0.01),
-# and the rescore budget scales with the store (floor 60, 1/8 = 12.5%
-# of vectors) instead of a fixed 50 — a fixed budget decays to 3%
-# scanned at sf0.1 and recall collapsed to 0.2 there.  Measured
-# recall@10 at 12.5%: 0.8 (sf0.001), 0.8 (sf0.01), 0.9 (sf0.1).
-_PQ_K = 64          # codes per subspace = sub-vectors of vec_id 1.._PQ_K
+# r5 tuning (VERDICT r4 task 6): the full (K, scan-div) sweep is
+# committed as BENCH/pq_recall_sweep_r5.json; K 64 -> 256 codes/subspace
+# lifts ADC resolution enough that recall@10 at the UNCHANGED 12.5%
+# rescore reads 1.0 / 0.9 / 0.9 at sf0.001 / 0.01 / 0.1 (r4: 0.8 / 0.8
+# / 0.9).  Codebook assignment (n x K x M sub-distances) is the
+# memoized build-time pass, so probes pay the same ADC + rescore as
+# before; the rescore budget still scales with the store (floor 60,
+# 1/8 of vectors) — r4 showed any FIXED budget decays with scale.
+_PQ_K = 256         # codes per subspace = sub-vectors of vec_id 1.._PQ_K
 _PQ_CAND_FLOOR = 60  # minimum ADC candidates exact-rescored
 _PQ_SCAN_DIV = 8     # rescore budget = max(floor, n_vectors // 8)
 

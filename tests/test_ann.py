@@ -66,12 +66,12 @@ def test_ann_pq_recall_vs_brute_force(spark):
     assert approx, "PQ ANN returned no candidates"
     recall = len(set(exact) & set(approx)) / len(exact)
     print(f"# ann_pq_topk recall@10 = {recall:.2f} ({len(approx)} returned)")
-    # 8x64 codebook ADC with a store-proportional exact rescore (12.5%
-    # of vectors, floor 60; 32x compression unchanged): measured 0.8 at
-    # sf0.001/sf0.01 and 0.9 at sf0.1 on the near-random fixtures;
-    # floor pinned just below the weakest measured point (r4 tuning,
-    # up from the 0.5 @ sf0.01 of the 8x16/fixed-50 configuration).
-    assert recall >= 0.7
+    # 8x256 codebook ADC with a store-proportional exact rescore (12.5%
+    # of vectors, floor 60): measured 1.0 at sf0.001, 0.9 at sf0.01 and
+    # sf0.1 on the near-random fixtures (r5 sweep,
+    # BENCH/pq_recall_sweep_r5.json); floor pinned just below the
+    # weakest measured point.
+    assert recall >= 0.85
 
 
 def test_ann_ivf_recall_vs_brute_force(spark):
