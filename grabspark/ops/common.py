@@ -12,19 +12,35 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def memo_key(spark: SparkSession, sf: str, src_name: str, *caches: dict) -> tuple:
-    """(session_token, path, mtime) memo key + eviction for per-session
-    write-once artifacts (near-dup edge sets, PQ code tables): entries
-    from stopped sessions, and entries whose source parquet was
-    rewritten at the same path, are dropped so the dicts stay bounded
-    and never serve stale frames (ADVICE r3)."""
+    """(session_token, path, mtime_ns, size) memo key + eviction for
+    per-session write-once artifacts (near-dup edge sets, PQ code
+    tables): entries from stopped sessions, and entries whose source
+    parquet was rewritten at the same path, are dropped so the dicts
+    stay bounded and never serve stale frames (ADVICE r3).  mtime_ns +
+    size (ADVICE r4) instead of float mtime: second-granularity
+    filesystems can rewrite a fixture in-place without moving the float
+    clock, and the size catches same-nanosecond rewrites too.  Evicted
+    values are unpersisted when their session still runs — eviction
+    must release the block-manager storage the localCheckpoint holds,
+    not just the dict slot (dead-session entries have no storage left
+    to free; errors are tolerated)."""
     tok = session_token(spark)
     path = os.path.normpath(sf)
     src = os.path.join(path, src_name)
-    mtime = os.path.getmtime(src) if os.path.exists(src) else 0.0
-    key = (tok, path, mtime)
+    try:
+        st = os.stat(src)
+        stamp = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        stamp = (0, 0)
+    key = (tok, path, stamp)
     for cache in caches:
         for k in [k for k in cache if k[0] != tok or (k[1] == path and k != key)]:
-            cache.pop(k, None)
+            evicted = cache.pop(k, None)
+            if evicted is not None and hasattr(evicted, "unpersist"):
+                try:
+                    evicted.unpersist()
+                except Exception:
+                    pass  # stopped session: storage is already gone
     return key
 
 

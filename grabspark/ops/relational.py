@@ -2258,10 +2258,15 @@ def _z_interleave(h: str, t: str) -> str:
 def zorder_layout_plan(spark: SparkSession, sf: str) -> DataFrame:
     """(layout, file_id, n, host_span, day_span): per-file bucket spans
     of the z-order layout vs the round-robin baseline."""
+    # day bucket via a wall-clock diff from a fixed NTZ origin (ADVICE
+    # r4): unix_timestamp(ts) routes through the session timezone and
+    # agrees with the oracle's naive epoch(ts) only under UTC sessions;
+    # timestampdiff on TIMESTAMP_NTZ is timezone-free on any driver
     e = T(spark, sf, "events").select(
         F.expr("CAST(user_id % 16 AS BIGINT)").alias("hb"),
         F.expr(
-            "CAST(CAST(unix_timestamp(ts) AS BIGINT) DIV 86400 % 16 AS BIGINT)"
+            "CAST(timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            " DIV 86400 % 16 AS BIGINT)"
         ).alias("tb"),
         F.col("event_id"),
     )
