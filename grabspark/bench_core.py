@@ -344,7 +344,14 @@ def run_frontier_round(
     # the scan, cutting the per-round seen-table bytes ~7x
     hashed = "key_hash" in seen_raw.columns
     join_key = "key_hash" if hashed else "url_canon"
-    seen = seen_raw.select("seed_idx", join_key)
+    # shuffled-hash anti-join (r5, measured): the bucketed seen scan is
+    # already co-partitioned, so the only SMJ cost left was the per-task
+    # SORT of both sides on (seed_idx, key).  Building a hash map of the
+    # ~bucket-sized seen partition instead (bounded by buckets_for at
+    # any table size: ~250k rows x 12 B) removes both sorts — measured
+    # at 4M rows, local[32]: 312-324k -> 342-348k URLs/s confirmed,
+    # 387-419k -> 459-464k hash-only, identical scheduled rows.
+    seen = seen_raw.select("seed_idx", join_key).hint("shuffle_hash")
     store = _read_side(spark, store_path) if store_path else None
 
     t0 = time.time()
@@ -606,13 +613,13 @@ def run_frontier_round(
             ).drop("image_id")
         elif store_hashed:
             sched = sched.join(
-                store.select("fkey_hash", "fmt", "phash"),
+                store.select("fkey_hash", "fmt", "phash").hint("shuffle_hash"),
                 F.col("fk_hash") == F.col("fkey_hash"),
                 "left",
             )
         else:
             sched = sched.join(
-                store.select("image_id", "fmt", "phash"),
+                store.select("image_id", "fmt", "phash").hint("shuffle_hash"),
                 F.col("fetch_key") == F.col("image_id"),
                 "left",
             )
