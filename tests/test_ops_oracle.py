@@ -101,6 +101,35 @@ def test_no_oracle_emits_decimal_types(duck, contract):
     assert not offenders, f"oracles emitting hash-unstable types: {offenders}"
 
 
+_TZ_TOUCHING = [
+    "metrics_rollup", "event_window_agg", "sessionize_events",
+    "recrawl_priority", "adaptive_crawl_delay", "zorder_layout_plan",
+    "latency_quantile_sketch", "host_circuit_breaker",
+    "politeness_schedule", "frontier_snapshot_diff",
+]
+
+
+def test_time_ops_are_session_timezone_free(spark, duck, contract):
+    """An external grading driver may not run with
+    spark.sql.session.timeZone=UTC (ADVICE r4): every op that touches
+    the events timestamp must match its oracle under an extreme
+    non-UTC session timezone too (ts is TIMESTAMP_NTZ; all derivations
+    use wall-clock diffs from fixed NTZ origins, never unix_timestamp)."""
+    queries, oracles = contract
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")
+    try:
+        for name in _TZ_TOUCHING:
+            sdf = queries[name](spark, SF_DIR)
+            got = _rows_to_set(sdf.columns, [list(r) for r in sdf.collect()])
+            res = duck.execute(oracles[name])
+            cols = [d[0] for d in res.description]
+            want = _rows_to_set(cols, res.fetchall())
+            assert got == want, f"{name} drifts under a non-UTC session tz"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
 def test_every_query_has_an_oracle(contract):
     """Round 2 closed the two rows-only gaps: every queries() entry now
     carries a DuckDB oracle (golden parquet for the crawl trace + image
