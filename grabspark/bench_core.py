@@ -812,7 +812,18 @@ class DecodeOnceBenchResult:
 def run_decode_once_round(spark: SparkSession, path: str) -> DecodeOnceBenchResult:
     from .ops import images as I
 
-    df = spark.read.parquet(path).select("image_id", "bytes", "w", "h", "fmt")
+    # core-proportional input partitioning (measured at (2,8), 120k
+    # images): 64 file-sized tasks pay a per-task Arrow/python-worker
+    # handoff that turns flat at high parallelism — kernel 19.5 s -> 12.6 s
+    # at local[8] with ~2x-cores partitions, lifting kernel scaling
+    # efficiency 0.66 -> 0.91.  coalesce (no shuffle) applies to every
+    # consumer: composed, parts, and the naive pipeline alike.
+    n_part = max(2 * spark.sparkContext.defaultParallelism, 8)
+    df = (
+        spark.read.parquet(path)
+        .select("image_id", "bytes", "w", "h", "fmt")
+        .coalesce(n_part)
+    )
 
     # composed: one decode, persisted signature frame, all consumers
     t0 = time.time()
