@@ -812,18 +812,34 @@ class DecodeOnceBenchResult:
 def run_decode_once_round(spark: SparkSession, path: str) -> DecodeOnceBenchResult:
     from .ops import images as I
 
-    # core-proportional input partitioning (measured at (2,8), 120k
-    # images): 64 file-sized tasks pay a per-task Arrow/python-worker
-    # handoff that turns flat at high parallelism — kernel 19.5 s -> 12.6 s
-    # at local[8] with ~2x-cores partitions, lifting kernel scaling
-    # efficiency 0.66 -> 0.91.  coalesce (no shuffle) applies to every
-    # consumer: composed, parts, and the naive pipeline alike.
-    n_part = max(2 * spark.sparkContext.defaultParallelism, 8)
-    df = (
-        spark.read.parquet(path)
-        .select("image_id", "bytes", "w", "h", "fmt")
-        .coalesce(n_part)
-    )
+    # Scan-level input sizing (measured at (2,8), 120k images): 64
+    # file-sized scan tasks pay a per-task Arrow/python-worker handoff
+    # that turns flat at high parallelism — the identical numpy mix
+    # under plain multiprocessing scales at 0.99 while the 64-task
+    # kernel read 0.66.  Merging files AT THE SCAN via
+    # spark.sql.files.maxPartitionBytes (13.2 s at local[8], vs 18.8 s
+    # for an equivalent post-scan coalesce — the coalesce keeps per-file
+    # reader boundaries) with a cores-and-data-proportional target keeps
+    # every parallelism level at ~2x-cores partitions.  Conf is restored
+    # after the round.
+    cores = spark.sparkContext.defaultParallelism
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    target = max(16 << 20, min(128 << 20, total // max(2 * cores, 1) or 1))
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
+    try:
+        return _run_decode_once_round(spark, path)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+
+
+def _run_decode_once_round(spark: SparkSession, path: str) -> DecodeOnceBenchResult:
+    from .ops import images as I
+
+    df = spark.read.parquet(path).select("image_id", "bytes", "w", "h", "fmt")
 
     # composed: one decode, persisted signature frame, all consumers
     t0 = time.time()
